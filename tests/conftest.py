@@ -1,0 +1,33 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+Real TPU hardware (single chip) is reserved for bench.py; tests validate
+numerics and multi-chip sharding on the CPU backend with 8 virtual devices.
+Environment must be set before jax is imported anywhere.
+"""
+
+import os
+
+# Override unconditionally: the environment may pin JAX_PLATFORMS to a real
+# TPU backend (e.g. "axon"); tests must run on host CPU.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax
+import numpy as np
+import pytest
+
+# Persistent compilation cache: the build host has a single CPU core, so XLA
+# compiles dominate test time; cache them across pytest runs.
+_CACHE_DIR = os.path.join(os.path.dirname(__file__), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)

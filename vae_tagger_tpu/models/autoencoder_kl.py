@@ -1,0 +1,198 @@
+"""FLUX AutoencoderKL in Flax, NHWC, TPU-first.
+
+Re-implements from scratch the diffusers ``AutoencoderKL`` the reference pins
+at ``/root/reference/diffusers_vae_loader.py:8-35`` (3->16 channel VAE,
+4 down/up stages, channels [128,256,512,512], 2 resnet layers per encoder
+block, GroupNorm(32)+SiLU, single-head attention mid block, no quant convs,
+scaling 0.3611 / shift 0.1159).
+
+API surface (functional; a frozen posterior pytree instead of a distribution
+object):
+  model.encode(x)        -> DiagonalGaussian (mean/logvar, NHWC)
+  model.decode(z)        -> reconstruction
+  model.__call__(x, rng) -> (reconstruction, posterior)      [train forward]
+  encode_scaled / decode_scaled apply the scaling/shift factors exactly like
+  ``DiffusersVAEWrapper.encode/decode`` (/root/reference/diffusers_vae_loader.py:78-94).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..core.config import VAEConfig
+from ..nn.blocks import DownEncoderBlock, GroupNorm, MidBlock, UpDecoderBlock, _conv
+
+
+@struct.dataclass
+class DiagonalGaussian:
+    """Diagonal Gaussian posterior over NHWC latents.
+
+    Matches diffusers ``DiagonalGaussianDistribution``: logvar clamped to
+    [-30, 20]; ``kl()`` is the analytic KL to N(0, I) summed over latent
+    dims per sample; ``mode()`` is the mean.
+    """
+
+    mean: jnp.ndarray    # (B, h, w, C)
+    logvar: jnp.ndarray  # (B, h, w, C)
+
+    @classmethod
+    def from_moments(cls, moments: jnp.ndarray) -> "DiagonalGaussian":
+        mean, logvar = jnp.split(moments, 2, axis=-1)
+        return cls(mean=mean, logvar=jnp.clip(logvar, -30.0, 20.0))
+
+    @property
+    def std(self):
+        return jnp.exp(0.5 * self.logvar)
+
+    @property
+    def var(self):
+        return jnp.exp(self.logvar)
+
+    def sample(self, rng: jax.Array) -> jnp.ndarray:
+        noise = jax.random.normal(rng, self.mean.shape, dtype=jnp.float32)
+        return self.mean + self.std * noise.astype(self.mean.dtype)
+
+    def mode(self) -> jnp.ndarray:
+        return self.mean
+
+    def kl(self) -> jnp.ndarray:
+        """Per-sample KL(q || N(0,I)), summed over (h, w, C) -> (B,)."""
+        m = self.mean.astype(jnp.float32)
+        lv = self.logvar.astype(jnp.float32)
+        return 0.5 * jnp.sum(
+            jnp.square(m) + jnp.exp(lv) - 1.0 - lv, axis=(1, 2, 3)
+        )
+
+
+class Encoder(nn.Module):
+    config: VAEConfig
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        cfg = self.config
+        g = cfg.norm_num_groups
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        x = x.astype(self.dtype)
+        x = _conv(cfg.block_out_channels[0], (3, 3), "conv_in",
+                  self.dtype, self.param_dtype)(x)
+        for i, out_ch in enumerate(cfg.block_out_channels):
+            x = DownEncoderBlock(
+                out_channels=out_ch,
+                num_layers=cfg.layers_per_block,
+                add_downsample=i < len(cfg.block_out_channels) - 1,
+                num_groups=g,
+                name=f"down_blocks_{i}",
+                **kw,
+            )(x)
+        x = MidBlock(cfg.block_out_channels[-1],
+                     add_attention=cfg.mid_block_add_attention,
+                     num_groups=g, name="mid_block", **kw)(x)
+        x = GroupNorm(g, name="conv_norm_out", param_dtype=self.param_dtype)(x)
+        x = nn.silu(x)
+        x = _conv(2 * cfg.latent_channels, (3, 3), "conv_out",
+                  self.dtype, self.param_dtype)(x)
+        return x  # moments: (B, h, w, 2*latent_channels)
+
+
+class Decoder(nn.Module):
+    config: VAEConfig
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, z):
+        cfg = self.config
+        g = cfg.norm_num_groups
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        z = z.astype(self.dtype)
+        reversed_channels = list(reversed(cfg.block_out_channels))
+        x = _conv(reversed_channels[0], (3, 3), "conv_in",
+                  self.dtype, self.param_dtype)(z)
+        x = MidBlock(reversed_channels[0],
+                     add_attention=cfg.mid_block_add_attention,
+                     num_groups=g, name="mid_block", **kw)(x)
+        for i, out_ch in enumerate(reversed_channels):
+            x = UpDecoderBlock(
+                out_channels=out_ch,
+                num_layers=cfg.layers_per_block + 1,
+                add_upsample=i < len(reversed_channels) - 1,
+                num_groups=g,
+                name=f"up_blocks_{i}",
+                **kw,
+            )(x)
+        x = GroupNorm(g, name="conv_norm_out", param_dtype=self.param_dtype)(x)
+        x = nn.silu(x)
+        x = _conv(cfg.out_channels, (3, 3), "conv_out",
+                  self.dtype, self.param_dtype)(x)
+        return x
+
+
+class AutoencoderKL(nn.Module):
+    """The full VAE.  ``__call__`` is the training forward
+    (encode -> sample -> decode), mirroring ``DiffusersVAEWrapper.forward``
+    (/root/reference/diffusers_vae_loader.py:72-76)."""
+
+    config: VAEConfig
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        self.encoder = Encoder(self.config, name="encoder", **kw)
+        self.decoder = Decoder(self.config, name="decoder", **kw)
+
+    def encode(self, x) -> DiagonalGaussian:
+        moments = self.encoder(x).astype(jnp.float32)
+        return DiagonalGaussian.from_moments(moments)
+
+    def decode(self, z) -> jnp.ndarray:
+        return self.decoder(z).astype(jnp.float32)
+
+    def __call__(self, x, rng: jax.Array):
+        posterior = self.encode(x)
+        z = posterior.sample(rng)
+        reconstruction = self.decode(z)
+        return reconstruction, posterior
+
+
+def encode_scaled(posterior_mode: jnp.ndarray, config: VAEConfig) -> jnp.ndarray:
+    """latent * scaling_factor + shift_factor
+    (``DiffusersVAEWrapper.encode``, /root/reference/diffusers_vae_loader.py:78-86)."""
+    return posterior_mode * config.scaling_factor + config.shift_factor
+
+
+def decode_scaled(z: jnp.ndarray, config: VAEConfig) -> jnp.ndarray:
+    """Inverse transform before decoding
+    (``DiffusersVAEWrapper.decode``, /root/reference/diffusers_vae_loader.py:88-94)."""
+    return (z - config.shift_factor) / config.scaling_factor
+
+
+@dataclasses.dataclass
+class VAEBundle:
+    """A model + params pair with convenience jitted methods — the working
+    unit the training/inference layers pass around."""
+
+    model: AutoencoderKL
+    params: dict
+
+    @property
+    def config(self) -> VAEConfig:
+        return self.model.config
+
+    def encode_latents(self, pixels: jnp.ndarray) -> jnp.ndarray:
+        """pixels (B,H,W,3) in [-1,1] -> scaled/shifted mode latents."""
+        posterior = self.model.apply({"params": self.params}, pixels,
+                                     method=AutoencoderKL.encode)
+        return encode_scaled(posterior.mode(), self.config)
+
+    def decode_latents(self, z: jnp.ndarray) -> jnp.ndarray:
+        return self.model.apply({"params": self.params},
+                                decode_scaled(z, self.config),
+                                method=AutoencoderKL.decode)

@@ -1,0 +1,42 @@
+"""Attention numerics.
+
+The one long-sequence attention in the whole model is the VAE mid-block: a
+single-head, 512-dim self-attention over the full latent grid — 16,384 tokens
+at 1024px input (SURVEY.md §5).  The reference materializes the full SxS score
+matrix inside diffusers and offers xformers as an opt-in; here the Pallas
+flash-attention kernel is the TPU answer, with an XLA fallback that is still
+fused reasonably well for small S.
+
+Softmax always runs in fp32 (the reference's ``upcast_softmax=True`` diffusers
+setting) even when the surrounding network is bf16.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from . import backend
+
+
+def _xla_attention(q, k, v):
+    """Reference implementation: (B, S, D) single-head attention."""
+    d = q.shape[-1]
+    scale = 1.0 / (d ** 0.5)
+    scores = jnp.einsum("bqd,bkd->bqk", q, k).astype(jnp.float32) * scale
+    weights = jnp.exp(scores - jnp.max(scores, axis=-1, keepdims=True))
+    weights = weights / jnp.sum(weights, axis=-1, keepdims=True)
+    return jnp.einsum("bqk,bkd->bqd", weights.astype(v.dtype), v)
+
+
+def spatial_single_head_attention(q, k, v):
+    """Single-head self-attention over spatial tokens, (B, S, D) -> (B, S, D).
+
+    Dispatches to the Pallas flash-attention kernel on TPU when the sequence
+    is long enough to benefit; otherwise uses the XLA path.
+    """
+    s = q.shape[1]
+    if backend.use_pallas() and s >= 1024:
+        from .pallas.flash_attention import flash_attention
+
+        return flash_attention(q, k, v)
+    return _xla_attention(q, k, v)

@@ -1,0 +1,46 @@
+"""Normalization primitives (NHWC, functional).
+
+GroupNorm statistics are computed in fp32 regardless of compute dtype — the
+VAE stacks 30+ GroupNorms and bf16 variance accumulation visibly degrades
+latent parity.  The affine transform is applied in the input dtype so the
+surrounding network stays in bf16.
+
+Torch semantics being matched: ``nn.GroupNorm(num_groups, C, eps)`` groups
+*consecutive* channels; used with eps=1e-6 throughout the diffusers VAE the
+reference instantiates (``/root/reference/diffusers_vae_loader.py:8-35``).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def group_norm(x, scale, bias, *, num_groups: int, eps: float = 1e-6):
+    """GroupNorm over an NHWC tensor.
+
+    x:     (..., H, W, C)
+    scale: (C,)  bias: (C,)
+    """
+    orig_dtype = x.dtype
+    n, h, w, c = x.shape
+    if c % num_groups:
+        raise ValueError(f"channels {c} not divisible by groups {num_groups}")
+    xg = x.astype(jnp.float32).reshape(n, h, w, num_groups, c // num_groups)
+    mean = jnp.mean(xg, axis=(1, 2, 4), keepdims=True)
+    var = jnp.mean(jnp.square(xg - mean), axis=(1, 2, 4), keepdims=True)
+    xg = (xg - mean) * jax.lax.rsqrt(var + eps)
+    x = xg.reshape(n, h, w, c).astype(orig_dtype)
+    return x * scale.astype(orig_dtype) + bias.astype(orig_dtype)
+
+
+def layer_norm(x, scale, bias, *, eps: float = 1e-5):
+    """LayerNorm over the last axis (torch ``nn.LayerNorm`` semantics,
+    used by the tagger heads at ``/root/reference/modules.py:64,320-330``)."""
+    orig_dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    y = (xf - mean) * (var + eps) ** -0.5
+    y = y.astype(orig_dtype)
+    return y * scale.astype(orig_dtype) + bias.astype(orig_dtype)
