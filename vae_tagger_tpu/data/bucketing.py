@@ -1,0 +1,155 @@
+"""Aspect-ratio bucketing and aspect-preserving resize.
+
+Behavior mirrors the reference (``/root/reference/modules.py:126-242``):
+buckets are every (W, H) with W, H in [base, max] step ``bucket_step`` and
+W*H <= max^2; each image goes to the closest-aspect bucket; SmartResize crops
+to the bucket's aspect ratio then LANCZOS-resizes.
+
+TPU-first differences:
+- bucket assignment reads only the image *header* (PIL lazy open) — the
+  reference also avoids decoding, but we make it explicit;
+- every bucket is a static compiled shape; the loader (loader.py) batches
+  per-bucket so XLA compiles one program per *used* bucket instead of
+  recompiling per image;
+- normalization to [-1, 1] happens on device (the transform returns uint8 HWC
+  to keep host->device transfers 4x smaller than fp32).
+"""
+
+from __future__ import annotations
+
+import random
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+from PIL import Image
+
+
+class SmartResize:
+    """Aspect-preserving crop to the target ratio, then LANCZOS resize.
+
+    crop_mode: 'center' (default), 'random', or 'top'/'bottom' (maps to 0
+    offset like the reference's else-branch).
+    """
+
+    def __init__(self, target_width: int, target_height: int,
+                 crop_mode: str = "center"):
+        self.target_width = target_width
+        self.target_height = target_height
+        self.crop_mode = crop_mode
+
+    def __call__(self, img: Image.Image) -> Image.Image:
+        ow, oh = img.size
+        target_ratio = self.target_width / self.target_height
+        original_ratio = ow / oh
+        if original_ratio > target_ratio:
+            nw = int(oh * target_ratio)
+            nh = oh
+            if self.crop_mode == "center":
+                left = (ow - nw) // 2
+            elif self.crop_mode == "random":
+                left = random.randint(0, ow - nw)
+            else:
+                left = 0
+            img = img.crop((left, 0, left + nw, nh))
+        elif original_ratio < target_ratio:
+            nw = ow
+            nh = int(ow / target_ratio)
+            if self.crop_mode == "center":
+                top = (oh - nh) // 2
+            elif self.crop_mode == "random":
+                top = random.randint(0, oh - nh)
+            else:
+                top = 0
+            img = img.crop((0, top, nw, top + nh))
+        return img.resize((self.target_width, self.target_height),
+                          Image.LANCZOS)
+
+
+class AspectRatioBucketing:
+    """Generates the bucket grid and assigns images by closest aspect ratio."""
+
+    def __init__(self, base_resolution: int = 512, max_resolution: int = 1024,
+                 bucket_step: int = 64):
+        self.base_resolution = base_resolution
+        self.max_resolution = max_resolution
+        self.bucket_step = bucket_step
+        self.buckets = self._generate_buckets()
+        self.image_buckets: Dict[str, Tuple[int, int]] = {}
+
+    def _generate_buckets(self) -> List[Tuple[int, int]]:
+        buckets = []
+        for width in range(self.base_resolution, self.max_resolution + 1,
+                           self.bucket_step):
+            for height in range(self.base_resolution, self.max_resolution + 1,
+                                self.bucket_step):
+                if width * height <= self.max_resolution ** 2:
+                    buckets.append((width, height))
+        return sorted(buckets)
+
+    def assign_bucket_for_size(self, width: int, height: int) -> Tuple[int, int]:
+        original_ratio = width / height
+        best_bucket = None
+        min_diff = float("inf")
+        for bw, bh in self.buckets:
+            diff = abs(bw / bh - original_ratio)
+            if diff < min_diff:
+                min_diff = diff
+                best_bucket = (bw, bh)
+        return best_bucket
+
+    def assign_bucket(self, image_path) -> Tuple[int, int]:
+        try:
+            with Image.open(image_path) as img:  # header read only
+                bucket = self.assign_bucket_for_size(*img.size)
+        except Exception as e:
+            print(f"warning: could not analyze image {image_path}: {e}")
+            bucket = (self.base_resolution, self.base_resolution)
+        self.image_buckets[str(image_path)] = bucket
+        return bucket
+
+    def get_bucket_statistics(self) -> Dict[Tuple[int, int], int]:
+        counts: Dict[Tuple[int, int], int] = {}
+        for bucket in self.image_buckets.values():
+            counts[bucket] = counts.get(bucket, 0) + 1
+        return counts
+
+    def print_bucket_info(self) -> None:
+        stats = self.get_bucket_statistics()
+        print("aspect-ratio bucket statistics")
+        print(f"generated {len(self.buckets)} buckets")
+        print(f"used {len(stats)} buckets")
+        total = max(1, len(self.image_buckets))
+        for bucket, count in sorted(stats.items(), key=lambda x: x[1],
+                                    reverse=True):
+            w, h = bucket
+            print(f"{w}x{h} (ratio {w / h:.2f}): {count} images "
+                  f"({100.0 * count / total:.1f}%)")
+
+
+def load_and_transform_image(
+    path,
+    resolution: Optional[int] = None,
+    bucket: Optional[Tuple[int, int]] = None,
+    crop_mode: str = "center",
+    dtype=np.uint8,
+) -> np.ndarray:
+    """Decode an image and resize it for the model; returns HWC uint8.
+
+    - bucket given: SmartResize to (bucket_w, bucket_h)  [training bucket mode]
+    - else: square resize to (resolution, resolution) distorting aspect
+      (the reference's plain transform, modules.py:136-140)
+
+    Normalization to [-1, 1] is done on device (see ops/image.py) — the host
+    hands over uint8.
+    """
+    img = Image.open(path).convert("RGB")
+    if bucket is not None:
+        img = SmartResize(bucket[0], bucket[1], crop_mode)(img)
+    elif resolution is not None:
+        img = img.resize((resolution, resolution), Image.BILINEAR)
+    return np.asarray(img, dtype=dtype)
+
+
+def dummy_image(width: int = 512, height: int = 512) -> np.ndarray:
+    """Black placeholder for unreadable images (modules.py:717-729)."""
+    return np.zeros((height, width, 3), dtype=np.uint8)
