@@ -1,0 +1,69 @@
+#!/usr/bin/env python
+"""Image tagging CLI — flag-compatible with the reference ``infer_full.py``.
+
+Differences on TPU: images run in device-sized batches (not one by one), and
+precision is bf16 on TPU / fp32 on CPU instead of CUDA fp16 autocast.
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from vae_tagger_tpu.core.cli import (  # noqa: E402
+    add_attention_args,
+    add_decoder_ckpt_arg,
+    add_vae_args,
+    resolve_attention_flags,
+)
+
+
+def main():
+    parser = argparse.ArgumentParser(
+        description="Classify images with the VAE + tagger decoder.")
+    add_vae_args(parser, require_checkpoint=True)
+    add_decoder_ckpt_arg(parser, required=True)
+    parser.add_argument("--image_path", type=str, required=True,
+                        help="an image file or a directory of images")
+    parser.add_argument("--tags_csv_path", type=str, required=True)
+    parser.add_argument("--output_dir", type=str, default="inference_output")
+    parser.add_argument("--resolution", type=int, default=1024)
+    parser.add_argument("--confidence_threshold", type=float, default=0.5)
+    parser.add_argument("--batch_size", type=int, default=8,
+                        help="device batch size (TPU extension)")
+    parser.add_argument("--mixed_precision", type=str, default=None)
+    add_attention_args(parser)
+    parser.add_argument("--model_checkpoint", type=str, default=None,
+                        help="(deprecated) parent path for both checkpoints")
+    args = parser.parse_args()
+
+    attention_config = resolve_attention_flags(args)
+    if args.model_checkpoint and (not args.vae_checkpoint
+                                  or not args.decoder_checkpoint):
+        print("back-compat mode: deriving checkpoint paths from "
+              "--model_checkpoint")
+        args.vae_checkpoint = args.vae_checkpoint or args.model_checkpoint
+        args.decoder_checkpoint = (args.decoder_checkpoint
+                                   or args.model_checkpoint)
+
+    from vae_tagger_tpu.infer import TaggerEngine, infer_and_classify
+
+    engine = TaggerEngine.load(
+        vae_checkpoint=args.vae_checkpoint,
+        decoder_checkpoint=args.decoder_checkpoint,
+        tags_csv_path=args.tags_csv_path,
+        vae_config_path=args.vae_config_path,
+        use_attention=args.use_attention,
+        attention_config=attention_config,
+        mixed_precision=args.mixed_precision,
+    )
+    infer_and_classify(
+        engine, args.image_path, output_dir=args.output_dir,
+        resolution=args.resolution,
+        confidence_threshold=args.confidence_threshold,
+        batch_size=args.batch_size)
+
+
+if __name__ == "__main__":
+    main()

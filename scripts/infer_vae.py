@@ -1,0 +1,38 @@
+#!/usr/bin/env python
+"""Latent extraction CLI — flag-compatible with the reference ``infer_vae.py``."""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from vae_tagger_tpu.core.cli import add_vae_args  # noqa: E402
+
+
+def main():
+    parser = argparse.ArgumentParser(
+        description="Run VAE inference and save latent vectors.")
+    add_vae_args(parser, require_checkpoint=True)
+    parser.add_argument("--image_path", type=str, required=True)
+    parser.add_argument("--output_dir", type=str, default="inference_output")
+    parser.add_argument("--resolution", type=int, default=1024)
+    parser.add_argument("--batch_size", type=int, default=8,
+                        help="device batch size (TPU extension)")
+    parser.add_argument("--mixed_precision", type=str, default=None)
+    args = parser.parse_args()
+
+    from vae_tagger_tpu.infer import infer_and_save_latents
+    from vae_tagger_tpu.infer.latents import VAEOnlyEngine
+
+    engine = VAEOnlyEngine(vae_checkpoint=args.vae_checkpoint,
+                           vae_config_path=args.vae_config_path,
+                           mixed_precision=args.mixed_precision)
+    infer_and_save_latents(engine, args.image_path,
+                           output_dir=args.output_dir,
+                           resolution=args.resolution,
+                           batch_size=args.batch_size)
+
+
+if __name__ == "__main__":
+    main()

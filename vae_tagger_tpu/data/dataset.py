@@ -1,0 +1,219 @@
+"""Tagged image dataset: JSON metadata + tags CSV, weighted multi-labels,
+online triplet mining.
+
+Dataset format (byte-compatible with the reference, modules.py:487-548):
+  data.json:  {"path/to/img.png": "tag_a:1.0, tag_b:0.8, tag_c", ...}
+  tags.csv:   must contain a ``name`` column; row order defines class index.
+
+TPU-first differences from the reference:
+- labels live in one dense (N, num_tags) float32 matrix (vectorized overlap
+  computations for triplet mining instead of per-pair tensor ops);
+- __getitem__ returns HWC uint8 numpy (normalization happens on device);
+- bucket assignment reads image headers once up front; the loader batches
+  per bucket so each compiled shape is reused.
+"""
+
+from __future__ import annotations
+
+import json
+import random
+from pathlib import Path
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from .bucketing import (
+    AspectRatioBucketing,
+    dummy_image,
+    load_and_transform_image,
+)
+
+
+def load_tag_names(tags_csv_path: str) -> List[str]:
+    """Read the ``name`` column (the only column the pipeline uses; any
+    ``count`` column is informational — see example_tags.csv note in
+    SURVEY.md §2.1)."""
+    import pandas as pd
+
+    df = pd.read_csv(tags_csv_path)
+    if "name" not in df.columns:
+        raise ValueError(f"{tags_csv_path} must contain a 'name' column")
+    return [str(t) for t in df["name"]]
+
+
+def parse_weighted_tags(prompt: str, tag_to_idx: Dict[str, int],
+                        num_tags: int) -> np.ndarray:
+    """'tag_a:1.0, tag_b:0.8, tag_c' -> float32 label vector.
+
+    Missing weight defaults to 1.0; malformed weights default to 1.0; unknown
+    tags are ignored (modules.py:512-548 semantics)."""
+    labels = np.zeros(num_tags, dtype=np.float32)
+    for entry in str(prompt).split(","):
+        entry = entry.strip()
+        if not entry:
+            continue
+        if ":" in entry:
+            tag, weight_s = entry.split(":", 1)
+            tag = tag.strip()
+            try:
+                weight = float(weight_s.strip())
+            except ValueError:
+                weight = 1.0
+        else:
+            tag, weight = entry, 1.0
+        if tag in tag_to_idx:
+            labels[tag_to_idx[tag]] = weight
+    return labels
+
+
+class TaggedImageDataset:
+    """Map-style dataset; ``__getitem__`` returns a dict of numpy arrays:
+    pixel_values/anchor/positive/negative (HWC uint8) and
+    labels/positive_labels/negative_labels (float32 vectors)."""
+
+    def __init__(self, json_path: str, tags_csv_path: str,
+                 resolution: Optional[int] = 512,
+                 use_bucketing: bool = False, base_resolution: int = 512,
+                 max_resolution: int = 1024, bucket_step: int = 64,
+                 return_triplets: bool = True,
+                 max_candidates: int = 100,
+                 seed: Optional[int] = None):
+        with open(json_path, "r", encoding="utf-8") as f:
+            self.data = json.load(f)
+        self.tags = load_tag_names(tags_csv_path)
+        self.tag_to_idx = {t: i for i, t in enumerate(self.tags)}
+        self.idx_to_tag = {i: t for t, i in self.tag_to_idx.items()}
+        self.image_paths: List[str] = list(self.data.keys())
+        self.resolution = resolution
+        self.return_triplets = return_triplets
+        self.max_candidates = max_candidates
+        self._rng = random.Random(seed)
+
+        # dense label matrix
+        self.labels_matrix = np.stack([
+            parse_weighted_tags(self.data[p], self.tag_to_idx, len(self.tags))
+            for p in self.image_paths
+        ]) if self.image_paths else np.zeros((0, len(self.tags)), np.float32)
+        # binary presence for overlap tests
+        self._presence = (self.labels_matrix > 0)
+
+        self.use_bucketing = use_bucketing
+        if use_bucketing:
+            print("aspect-ratio bucketing enabled...")
+            self.bucketing = AspectRatioBucketing(
+                base_resolution, max_resolution, bucket_step)
+            for p in self.image_paths:
+                self.bucketing.assign_bucket(p)
+            self.bucketing.print_bucket_info()
+        else:
+            self.bucketing = None
+
+    # -- reference-compatible accessors ------------------------------------
+    @property
+    def image_labels(self) -> Dict[str, np.ndarray]:
+        return {p: self.labels_matrix[i]
+                for i, p in enumerate(self.image_paths)}
+
+    def class_distribution(self) -> np.ndarray:
+        """Positive-image count per tag (improved_losses.py:341-348)."""
+        return self._presence.sum(axis=0).astype(np.float64)
+
+    def bucket_of(self, idx: int) -> Optional[Tuple[int, int]]:
+        if not self.use_bucketing:
+            return None
+        return self.bucketing.image_buckets.get(self.image_paths[idx])
+
+    def __len__(self) -> int:
+        return len(self.image_paths)
+
+    # -- triplet mining (modules.py:599-686 policy) -------------------------
+    def _mine_triplet(self, anchor_idx: int) -> Tuple[int, int]:
+        n = len(self.image_paths)
+        anchor_presence = self._presence[anchor_idx]
+        anchor_tag_count = float(self.labels_matrix[anchor_idx].sum())
+
+        k = min(self.max_candidates, max(0, n - 1))
+        if k <= 0:
+            return anchor_idx, anchor_idx
+        candidates = set()
+        while len(candidates) < k:
+            j = self._rng.randrange(n)
+            if j != anchor_idx:
+                candidates.add(j)
+        candidates = list(candidates)
+        cand_arr = np.fromiter(candidates, dtype=np.int64)
+        overlaps = (self.labels_matrix[cand_arr]
+                    * self.labels_matrix[anchor_idx]).sum(axis=1)
+        positives = cand_arr[overlaps > 0]
+        negatives = cand_arr[overlaps == 0]
+
+        if anchor_tag_count > 1 and positives.size:
+            pos_overlaps = overlaps[overlaps > 0]
+            # prefer the max-overlap positive with p=0.7 when there's a choice
+            if positives.size > 1 and self._rng.random() < 0.7:
+                positive_idx = int(positives[int(np.argmax(pos_overlaps))])
+            else:
+                positive_idx = int(self._rng.choice(list(positives)))
+        elif positives.size:
+            positive_idx = int(self._rng.choice(list(positives)))
+        else:
+            positive_idx = anchor_idx  # rare tag combination: use anchor
+
+        if negatives.size:
+            negative_idx = int(self._rng.choice(list(negatives)))
+        elif n > 1:
+            negative_idx = anchor_idx
+            while negative_idx == anchor_idx:
+                negative_idx = self._rng.randrange(n)
+        else:
+            negative_idx = anchor_idx
+        return positive_idx, negative_idx
+
+    # -- loading -------------------------------------------------------------
+    def _load(self, idx: int) -> np.ndarray:
+        path = self.image_paths[idx]
+        bucket = self.bucket_of(idx)
+        try:
+            return load_and_transform_image(
+                path, resolution=self.resolution, bucket=bucket)
+        except Exception as e:
+            print(f"warning: could not load image {path}: {e}")
+            if bucket is not None:
+                return dummy_image(bucket[0], bucket[1])
+            return dummy_image(self.resolution or 512, self.resolution or 512)
+
+    def __getitem__(self, idx: int) -> dict:
+        anchor_img = self._load(idx)
+        anchor_labels = self.labels_matrix[idx]
+        item = {
+            "pixel_values": anchor_img,
+            "labels": anchor_labels,
+            "index": idx,
+        }
+        if self.return_triplets:
+            pos_idx, neg_idx = self._mine_triplet(idx)
+            item.update({
+                "anchor": anchor_img,
+                "positive": (anchor_img if pos_idx == idx
+                             else self._load_same_shape(pos_idx, idx)),
+                "negative": (anchor_img if neg_idx == idx
+                             else self._load_same_shape(neg_idx, idx)),
+                "positive_labels": self.labels_matrix[pos_idx],
+                "negative_labels": self.labels_matrix[neg_idx],
+            })
+        return item
+
+    def _load_same_shape(self, idx: int, anchor_idx: int) -> np.ndarray:
+        """Load ``idx`` resized to the *anchor's* bucket so a triplet batch
+        is one static shape (the reference loads each image in its own
+        bucket, which breaks collation for batch>1 — a real gap we fix)."""
+        bucket = self.bucket_of(anchor_idx)
+        path = self.image_paths[idx]
+        try:
+            return load_and_transform_image(
+                path, resolution=self.resolution, bucket=bucket)
+        except Exception as e:
+            print(f"warning: could not load image {path}: {e}")
+            if bucket is not None:
+                return dummy_image(bucket[0], bucket[1])
+            return dummy_image(self.resolution or 512, self.resolution or 512)

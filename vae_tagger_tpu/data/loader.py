@@ -1,0 +1,140 @@
+"""Bucket-aware batching and an async prefetching loader.
+
+Replaces torch DataLoader + random sampling (train_full.py:126-143) with a
+TPU-shaped pipeline:
+
+- ``BucketBatchSampler`` groups samples by aspect-ratio bucket so every batch
+  is one static (H, W) shape -> one XLA program per *used* bucket, no
+  recompile storm (SURVEY.md §7 hard part 2);
+- partial batches are padded by wrapping within the bucket and flagged via
+  ``batch_mask`` so eval paths can drop the duplicates;
+- ``DataLoader`` decodes/resizes on a thread pool (PIL releases the GIL) and
+  prefetches collated numpy batches a queue ahead of the accelerator.
+"""
+
+from __future__ import annotations
+
+import queue
+import random
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+
+class BucketBatchSampler:
+    """Yields fixed-size lists of dataset indices, all from one bucket.
+
+    Without bucketing every sample shares one shape, so this degrades to a
+    plain batch sampler.  The final partial batch of each bucket is padded by
+    re-sampling indices from the same bucket (mask marks the padding).
+    """
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool = True,
+                 seed: Optional[int] = 0,
+                 indices: Optional[Sequence[int]] = None):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self._rng = random.Random(seed)
+        self.indices = list(indices) if indices is not None else list(
+            range(len(dataset)))
+
+        self.bucket_groups: Dict[tuple, List[int]] = {}
+        for i in self.indices:
+            bucket = dataset.bucket_of(i) if hasattr(dataset, "bucket_of") else None
+            self.bucket_groups.setdefault(bucket or ("fixed",), []).append(i)
+
+    def __len__(self) -> int:
+        return sum(-(-len(g) // self.batch_size)
+                   for g in self.bucket_groups.values())
+
+    def __iter__(self) -> Iterator[tuple]:
+        """Yields (indices, mask) with len(indices) == batch_size always."""
+        batches = []
+        for group in self.bucket_groups.values():
+            order = list(group)
+            if self.shuffle:
+                self._rng.shuffle(order)
+            for start in range(0, len(order), self.batch_size):
+                chunk = order[start:start + self.batch_size]
+                mask = [True] * len(chunk)
+                while len(chunk) < self.batch_size:
+                    chunk.append(self._rng.choice(group))
+                    mask.append(False)
+                batches.append((chunk, mask))
+        if self.shuffle:
+            self._rng.shuffle(batches)
+        return iter(batches)
+
+
+def _collate(items: List[dict], mask: List[bool]) -> Dict[str, np.ndarray]:
+    batch: Dict[str, np.ndarray] = {}
+    for key in items[0]:
+        vals = [it[key] for it in items]
+        if np.isscalar(vals[0]) or np.asarray(vals[0]).ndim == 0:
+            batch[key] = np.asarray(vals)
+        else:
+            batch[key] = np.stack(vals)
+    batch["batch_mask"] = np.asarray(mask, dtype=bool)
+    return batch
+
+
+class DataLoader:
+    """Threaded prefetching loader yielding collated numpy batches."""
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool = True,
+                 num_workers: int = 4, prefetch_factor: int = 2,
+                 seed: Optional[int] = 0,
+                 indices: Optional[Sequence[int]] = None):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.sampler = BucketBatchSampler(dataset, batch_size, shuffle,
+                                          seed=seed, indices=indices)
+        self.num_workers = max(1, num_workers)
+        self.prefetch = max(1, prefetch_factor)
+
+    def __len__(self) -> int:
+        return len(self.sampler)
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        batches = list(self.sampler)
+        stop = threading.Event()
+
+        def producer():
+            with ThreadPoolExecutor(self.num_workers) as pool:
+                for indices, mask in batches:
+                    if stop.is_set():
+                        break
+                    items = list(pool.map(self.dataset.__getitem__, indices))
+                    out_q.put(_collate(items, mask))
+            out_q.put(None)
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+        try:
+            while True:
+                batch = out_q.get()
+                if batch is None:
+                    break
+                yield batch
+        finally:
+            stop.set()
+            # drain so the producer can exit
+            while thread.is_alive():
+                try:
+                    out_q.get_nowait()
+                except queue.Empty:
+                    break
+
+
+def train_val_split(n: int, val_fraction: float = 0.1,
+                    seed: int = 42) -> tuple:
+    """Random 90/10 split (train_full.py:119-124 semantics: val is at least
+    one sample)."""
+    indices = list(range(n))
+    random.Random(seed).shuffle(indices)
+    val_size = max(1, int(n * val_fraction))
+    return indices[val_size:], indices[:val_size]

@@ -1,0 +1,165 @@
+"""Model loading + the jitted encode/classify engine.
+
+The reference runs inference image-by-image at batch size 1
+(``/root/reference/infer_full.py:94-105``) — the single biggest throughput
+sin on accelerators (SURVEY.md §3 hot-loop summary).  The engine here:
+
+- loads the same checkpoint formats (VAE safetensors/bin + config JSON,
+  decoder ``pytorch_model.bin``);
+- compiles ONE program per (batch, H, W) shape: uint8 in, on-device
+  normalize -> VAE encode -> scale/shift -> tagger head -> sigmoid probs;
+- batches the image stream per shape and pads the tail batch (results of
+  padded rows are dropped), so adding images costs throughput, not compiles.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import (
+    AttentionDecoderConfig,
+    VAEConfig,
+    default_flux_vae_config,
+    vae_config_from_file,
+)
+from ..core.precision import Policy, resolve_mixed_precision
+from ..io.safetensors_io import load_vae_params
+from ..io.torch_bin import load_decoder_params
+from ..models.autoencoder_kl import AutoencoderKL, encode_scaled
+from ..models.taggers import (
+    AttentionClassificationDecoder,
+    ClassificationDecoder,
+)
+from ..ops.image import normalize_uint8
+
+
+def _init_vae_params(model: AutoencoderKL, sample_hw: int = 32):
+    x = jnp.zeros((1, sample_hw, sample_hw, model.config.in_channels))
+    return jax.jit(model.init)({"params": jax.random.key(0)}, x,
+                               jax.random.key(1))["params"]
+
+
+def load_vae_bundle(vae_checkpoint: Optional[str] = None,
+                    vae_config_path: Optional[str] = None,
+                    policy: Policy = Policy(),
+                    require_checkpoint: bool = False,
+                    resolution: Optional[int] = None,
+                    ) -> Tuple[AutoencoderKL, dict]:
+    """Reference loading precedence (infer_full.py:16-26, train_full.py:40-53):
+    config JSON if given, else the hardcoded FLUX config; weights from the
+    checkpoint when present, else fresh initialization."""
+    if vae_config_path and os.path.exists(vae_config_path):
+        print(f"creating VAE from config file: {vae_config_path}")
+        config = vae_config_from_file(vae_config_path)
+    else:
+        config = default_flux_vae_config()
+        if resolution is not None:
+            config = dataclasses.replace(config, sample_size=resolution)
+
+    model = AutoencoderKL(config, dtype=policy.compute_dtype,
+                          param_dtype=policy.param_dtype)
+    if vae_checkpoint and os.path.exists(vae_checkpoint):
+        print(f"loading pretrained VAE weights: {vae_checkpoint}")
+        params = load_vae_params(vae_checkpoint)
+    elif require_checkpoint:
+        raise RuntimeError("a VAE checkpoint or config file is required")
+    else:
+        print("creating new VAE with default config")
+        params = _init_vae_params(model)
+    return model, params
+
+
+def build_decoder(num_classes: int, use_attention: bool = True,
+                  attention_config: Optional[dict] = None,
+                  latent_channels: int = 16,
+                  policy: Policy = Policy()):
+    """Decoder factory mirroring infer_full.py:33-57."""
+    if use_attention:
+        cfg = AttentionDecoderConfig(**(attention_config or {}))
+        return AttentionClassificationDecoder(
+            latent_channels=latent_channels, num_classes=num_classes,
+            attention=cfg, dtype=policy.compute_dtype,
+            param_dtype=policy.param_dtype)
+    return ClassificationDecoder(num_classes=num_classes,
+                                 dtype=policy.compute_dtype,
+                                 param_dtype=policy.param_dtype)
+
+
+@dataclasses.dataclass(eq=False)  # identity hash: instances are jit static args
+class TaggerEngine:
+    """VAE + tagger head with jitted batched forward functions."""
+
+    vae: AutoencoderKL
+    vae_params: dict
+    decoder: object  # linen module
+    decoder_variables: dict
+    tag_names: list
+    policy: Policy = Policy()
+
+    @classmethod
+    def load(cls, vae_checkpoint: str, decoder_checkpoint: str,
+             tags_csv_path: str, vae_config_path: Optional[str] = None,
+             use_attention: bool = True,
+             attention_config: Optional[dict] = None,
+             mixed_precision: Optional[str] = None) -> "TaggerEngine":
+        from ..data.dataset import load_tag_names
+
+        policy = resolve_mixed_precision(mixed_precision)
+        vae, vae_params = load_vae_bundle(
+            vae_checkpoint, vae_config_path, policy=policy,
+            require_checkpoint=True)
+        tag_names = load_tag_names(tags_csv_path)
+        decoder = build_decoder(len(tag_names), use_attention,
+                                attention_config,
+                                latent_channels=vae.config.latent_channels,
+                                policy=policy)
+        if not os.path.exists(decoder_checkpoint):
+            raise RuntimeError(
+                f"decoder checkpoint not found: {decoder_checkpoint}")
+        params, batch_stats = load_decoder_params(decoder_checkpoint)
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        return cls(vae=vae, vae_params=vae_params, decoder=decoder,
+                   decoder_variables=variables, tag_names=tag_names,
+                   policy=policy)
+
+    # -- jitted forwards ----------------------------------------------------
+    @partial(jax.jit, static_argnums=0)
+    def _encode_fn(self, vae_params, pixels_uint8):
+        x = normalize_uint8(pixels_uint8, self.policy.compute_dtype)
+        posterior = self.vae.apply({"params": vae_params}, x,
+                                   method=AutoencoderKL.encode)
+        return encode_scaled(posterior.mode(), self.vae.config)
+
+    @partial(jax.jit, static_argnums=0)
+    def _encode_classify_fn(self, vae_params, decoder_variables, pixels_uint8):
+        latents = self._encode_fn(vae_params, pixels_uint8)
+        logits = self.decoder.apply(
+            decoder_variables, latents.astype(self.policy.compute_dtype),
+            deterministic=True)
+        probs = jax.nn.sigmoid(logits.astype(jnp.float32))
+        return latents, probs
+
+    def encode(self, pixels_uint8: np.ndarray) -> np.ndarray:
+        """(B, H, W, 3) uint8 -> (B, h, w, C) scaled/shifted latents."""
+        return np.asarray(self._encode_fn(self.vae_params,
+                                          jnp.asarray(pixels_uint8)))
+
+    def classify(self, pixels_uint8: np.ndarray) -> np.ndarray:
+        """(B, H, W, 3) uint8 -> (B, num_tags) sigmoid probabilities."""
+        _, probs = self._encode_classify_fn(
+            self.vae_params, self.decoder_variables, jnp.asarray(pixels_uint8))
+        return np.asarray(probs)
+
+    def encode_and_classify(self, pixels_uint8: np.ndarray):
+        latents, probs = self._encode_classify_fn(
+            self.vae_params, self.decoder_variables, jnp.asarray(pixels_uint8))
+        return np.asarray(latents), np.asarray(probs)

@@ -1,0 +1,123 @@
+"""Latent extraction: images -> flattened latent vectors JSON.
+
+Byte-compatible with the reference's ``latent_vectors.json``
+(infer_vae.py:48-81): {image_path: [flat latent floats]}, flattened in the
+reference's NCHW (channel-major) order so vectors interchange exactly.
+Batched on device instead of per-image.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+from typing import List
+
+import numpy as np
+
+from ..data.bucketing import load_and_transform_image
+from ..data.paths import get_image_paths
+from .engine import TaggerEngine, load_vae_bundle
+
+
+def flatten_latent_torch_order(latent_nhwc: np.ndarray) -> np.ndarray:
+    """(h, w, C) -> flat (C*h*w,) channel-major (torch NCHW flatten order)."""
+    return np.transpose(latent_nhwc, (2, 0, 1)).reshape(-1)
+
+
+def infer_and_save_latents(engine, image_path: str,
+                           output_dir: str = "inference_output",
+                           resolution: int = 1024,
+                           batch_size: int = 8,
+                           verbose: bool = True) -> dict:
+    """``engine`` needs only ``.encode`` (a TaggerEngine or a VAE-only shim)."""
+    image_paths = get_image_paths(image_path)
+    if not image_paths:
+        print("no image files found; check the path")
+        return {}
+
+    latent_data = {}
+    processed, errors = 0, 0
+    t0 = time.perf_counter()
+    batch_imgs: List[np.ndarray] = []
+    batch_paths: List[str] = []
+
+    def flush():
+        nonlocal processed
+        if not batch_imgs:
+            return
+        n = len(batch_imgs)
+        block = np.stack(batch_imgs)
+        if n < batch_size:
+            block = np.concatenate(
+                [block, np.repeat(block[-1:], batch_size - n, axis=0)], axis=0)
+        latents = engine.encode(block)[:n]
+        for path, z in zip(batch_paths, latents):
+            latent_data[str(path)] = flatten_latent_torch_order(
+                np.asarray(z, np.float32)).tolist()
+        processed += n
+        batch_imgs.clear()
+        batch_paths.clear()
+
+    for img_path in image_paths:
+        try:
+            img = load_and_transform_image(str(img_path),
+                                           resolution=resolution)
+        except Exception as e:
+            errors += 1
+            print(f"skipping image {img_path}: {e}")
+            continue
+        batch_imgs.append(img)
+        batch_paths.append(str(img_path))
+        if len(batch_imgs) == batch_size:
+            flush()
+    flush()
+
+    dt = time.perf_counter() - t0
+    if verbose:
+        print(f"done — ok: {processed}, failed: {errors}, "
+              f"total: {len(image_paths)}, "
+              f"{processed / max(dt, 1e-9):.2f} images/sec")
+
+    output_path = Path(output_dir) / "latent_vectors.json"
+    output_path.parent.mkdir(parents=True, exist_ok=True)
+    with open(output_path, "w", encoding="utf-8") as f:
+        json.dump(latent_data, f, indent=4)
+    if verbose:
+        print(f"latent vectors saved to: {output_path}")
+    return latent_data
+
+
+class VAEOnlyEngine:
+    """Encode-only engine for infer_vae (no decoder checkpoint needed)."""
+
+    def __init__(self, vae_checkpoint=None, vae_config_path=None,
+                 mixed_precision=None):
+        import jax
+        import jax.numpy as jnp
+
+        from ..core.precision import resolve_mixed_precision
+        from ..models.autoencoder_kl import AutoencoderKL, encode_scaled
+        from ..ops.image import normalize_uint8
+
+        policy = resolve_mixed_precision(mixed_precision)
+        self.vae, self.vae_params = load_vae_bundle(
+            vae_checkpoint, vae_config_path, policy=policy,
+            require_checkpoint=True)
+
+        vae = self.vae
+
+        @jax.jit
+        def encode_fn(params, pixels_uint8):
+            x = normalize_uint8(pixels_uint8, policy.compute_dtype)
+            posterior = vae.apply({"params": params}, x,
+                                  method=AutoencoderKL.encode)
+            return encode_scaled(posterior.mode(), vae.config)
+
+        self._encode_fn = encode_fn
+
+    def encode(self, pixels_uint8):
+        import jax.numpy as jnp
+
+        return np.asarray(self._encode_fn(self.vae_params,
+                                          jnp.asarray(pixels_uint8)))
