@@ -1,0 +1,135 @@
+"""Data layer tests: label parsing, bucketing, sampler, loader, synthetic
+fixture round trip."""
+
+import json
+
+import numpy as np
+import pytest
+
+from vae_tagger_tpu.data.bucketing import AspectRatioBucketing, SmartResize
+from vae_tagger_tpu.data.dataset import TaggedImageDataset, parse_weighted_tags
+from vae_tagger_tpu.data.loader import (
+    BucketBatchSampler,
+    DataLoader,
+    train_val_split,
+)
+from vae_tagger_tpu.utils import create_synthetic_dataset
+
+
+@pytest.fixture(scope="module")
+def fixture_dataset(tmp_path_factory):
+    root = tmp_path_factory.mktemp("ds")
+    out = str(root / "test_dataset")
+    info = create_synthetic_dataset(out, num_images=16, img_size=64, seed=0)
+    return out, info
+
+
+def test_parse_weighted_tags():
+    tag_to_idx = {"a": 0, "b": 1, "c": 2}
+    v = parse_weighted_tags("a:1.0, b:0.8, unknown:2.0", tag_to_idx, 3)
+    np.testing.assert_allclose(v, [1.0, 0.8, 0.0])
+    # no weight defaults to 1.0; malformed weight defaults to 1.0
+    v = parse_weighted_tags("c, b:oops", tag_to_idx, 3)
+    np.testing.assert_allclose(v, [0.0, 1.0, 1.0])
+    # single label without comma
+    v = parse_weighted_tags("b:0.5", tag_to_idx, 3)
+    np.testing.assert_allclose(v, [0.0, 0.5, 0.0])
+
+
+def test_bucket_generation_bounds():
+    """Buckets: W,H in [512,1024] step 64 with W*H <= 1024^2
+    (modules.py:188-197)."""
+    b = AspectRatioBucketing(512, 1024, 64)
+    assert (512, 512) in b.buckets
+    assert (1024, 1024) in b.buckets
+    assert (1024, 1088) not in b.buckets
+    for w, h in b.buckets:
+        assert 512 <= w <= 1024 and 512 <= h <= 1024
+        assert w * h <= 1024 * 1024
+        assert w % 64 == 0 and h % 64 == 0
+    # closest-aspect assignment
+    assert b.assign_bucket_for_size(2048, 1024)[0] > \
+        b.assign_bucket_for_size(2048, 1024)[1]
+    assert b.assign_bucket_for_size(1000, 1000) == (512, 512) or \
+        b.assign_bucket_for_size(1000, 1000)[0] == \
+        b.assign_bucket_for_size(1000, 1000)[1]
+
+
+def test_smart_resize_shapes():
+    from PIL import Image
+
+    img = Image.new("RGB", (200, 100), (255, 0, 0))
+    out = SmartResize(64, 64)(img)
+    assert out.size == (64, 64)
+    out = SmartResize(128, 64)(img)
+    assert out.size == (128, 64)
+
+
+def test_dataset_items(fixture_dataset):
+    out, info = fixture_dataset
+    ds = TaggedImageDataset(
+        json_path=f"{out}/data.json", tags_csv_path=f"{out}/tags.csv",
+        resolution=64, seed=0)
+    assert len(ds) == 16
+    item = ds[0]
+    assert item["pixel_values"].shape == (64, 64, 3)
+    assert item["pixel_values"].dtype == np.uint8
+    assert item["labels"].shape == (info["num_tags"],)
+    for key in ("anchor", "positive", "negative"):
+        assert item[key].shape == (64, 64, 3)
+    # positives share at least one tag unless fallback to anchor
+    assert (item["labels"] * item["positive_labels"]).sum() > 0
+    # class distribution matches the label matrix
+    dist = ds.class_distribution()
+    assert dist.sum() == (ds.labels_matrix > 0).sum()
+
+
+def test_sampler_constant_batch_and_mask(fixture_dataset):
+    out, _ = fixture_dataset
+    ds = TaggedImageDataset(
+        json_path=f"{out}/data.json", tags_csv_path=f"{out}/tags.csv",
+        resolution=64, return_triplets=False, seed=0)
+    sampler = BucketBatchSampler(ds, batch_size=5, shuffle=True, seed=0)
+    batches = list(sampler)
+    assert len(batches) == len(sampler) == 4  # ceil(16/5)
+    seen = []
+    for indices, mask in batches:
+        assert len(indices) == 5 and len(mask) == 5
+        seen.extend(i for i, m in zip(indices, mask) if m)
+    assert sorted(seen) == list(range(16))  # every sample exactly once
+
+
+def test_loader_batches(fixture_dataset):
+    out, info = fixture_dataset
+    ds = TaggedImageDataset(
+        json_path=f"{out}/data.json", tags_csv_path=f"{out}/tags.csv",
+        resolution=64, return_triplets=False, seed=0)
+    loader = DataLoader(ds, batch_size=4, shuffle=False, num_workers=2)
+    batches = list(loader)
+    assert len(batches) == 4
+    b = batches[0]
+    assert b["pixel_values"].shape == (4, 64, 64, 3)
+    assert b["labels"].shape == (4, info["num_tags"])
+    assert b["batch_mask"].all()
+
+
+def test_train_val_split():
+    train, val = train_val_split(20, 0.1, seed=42)
+    assert len(val) == 2 and len(train) == 18
+    assert sorted(train + val) == list(range(20))
+    # tiny dataset still gets one val sample
+    train, val = train_val_split(3, 0.1, seed=42)
+    assert len(val) == 1
+
+
+def test_fixture_format(fixture_dataset):
+    out, info = fixture_dataset
+    with open(f"{out}/data.json") as f:
+        data = json.load(f)
+    assert len(data) == 16
+    sample = next(iter(data.values()))
+    assert ":" in sample  # weighted tag string format
+    import pandas as pd
+
+    df = pd.read_csv(f"{out}/tags.csv")
+    assert "name" in df.columns and "count" in df.columns

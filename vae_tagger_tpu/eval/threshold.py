@@ -1,0 +1,103 @@
+"""Model evaluation loop + optimal-threshold search.
+
+Functional equivalents of ``evaluate_model`` (evaluation.py:173-200) and
+``find_optimal_threshold`` (evaluation.py:202-274).  Instead of (vae, decoder,
+device) these take a ``predict_fn(batch) -> probabilities`` so the same code
+serves train_decoder, train_full and standalone evaluation; padded rows from
+the fixed-shape loader are dropped via ``batch_mask``.
+
+Reference quirk preserved: threshold search casts weighted labels to int
+(``y_true.astype(int)``, evaluation.py:231,249), truncating partial weights
+< 1.0 to negative.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Callable, Dict, List, Optional
+
+import numpy as np
+
+from .metrics import MultiLabelEvaluator
+
+
+def _collect(predict_fn: Callable, loader) -> tuple:
+    probs_all, targets_all = [], []
+    for batch in loader:
+        probs = np.asarray(predict_fn(batch))
+        mask = batch.get("batch_mask")
+        if mask is not None:
+            probs = probs[mask]
+            targets = batch["labels"][mask]
+        else:
+            targets = batch["labels"]
+        probs_all.append(probs)
+        targets_all.append(np.asarray(targets))
+    return np.vstack(probs_all), np.vstack(targets_all)
+
+
+def evaluate_model(predict_fn: Callable, loader, class_names: List[str],
+                   threshold: float = 0.5,
+                   output_dir: Optional[str] = None) -> Dict:
+    evaluator = MultiLabelEvaluator(class_names)
+    y_prob, y_true = _collect(predict_fn, loader)
+    y_pred = (y_prob > threshold).astype(np.float32)
+    evaluator.update(y_pred, y_true, y_prob)
+    metrics = evaluator.compute_metrics(threshold)
+    evaluator.print_metrics(metrics)
+    if output_dir:
+        os.makedirs(output_dir, exist_ok=True)
+        evaluator.save_metrics(
+            metrics, os.path.join(output_dir, "evaluation_results.csv"))
+    return metrics
+
+
+def find_optimal_threshold(predict_fn: Callable, loader,
+                           class_names: List[str],
+                           output_dir: Optional[str] = None) -> Dict:
+    """Sweep thresholds 0.1..0.9 step 0.05: per-class best-F1 threshold and
+    a global best-macro-F1 threshold; writes ``optimal_thresholds.json``."""
+    from sklearn.metrics import f1_score
+
+    y_prob, y_true = _collect(predict_fn, loader)
+    thresholds = np.arange(0.1, 0.9, 0.05)
+
+    optimal: Dict[str, Dict] = {}
+    for i, name in enumerate(class_names):
+        best_f1, best_thr = 0.0, 0.5
+        y_true_int = y_true[:, i].astype(int)
+        if y_true_int.sum() > 0:
+            for thr in thresholds:
+                y_pred = (y_prob[:, i] > thr).astype(int)
+                f1 = f1_score(y_true_int, y_pred, zero_division=0)
+                if f1 > best_f1:
+                    best_f1, best_thr = float(f1), float(thr)
+        optimal[name] = {"threshold": best_thr, "f1_score": best_f1}
+
+    best_global_f1, best_global_thr = 0.0, 0.5
+    y_true_int = y_true.astype(int)
+    for thr in thresholds:
+        y_pred = (y_prob > thr).astype(int)
+        f1 = f1_score(y_true_int, y_pred, average="macro", zero_division=0)
+        if f1 > best_global_f1:
+            best_global_f1, best_global_thr = float(f1), float(thr)
+
+    results = {
+        "global_threshold": best_global_thr,
+        "global_f1": best_global_f1,
+        "per_class_thresholds": optimal,
+    }
+    print(f"Global Threshold: {best_global_thr:.3f} "
+          f"(Macro F1: {best_global_f1:.4f})")
+    print("\nPer-Class Thresholds:")
+    for name, info in optimal.items():
+        print(f"  {name:<20}: {info['threshold']:.3f} "
+              f"(F1: {info['f1_score']:.4f})")
+    if output_dir:
+        os.makedirs(output_dir, exist_ok=True)
+        path = os.path.join(output_dir, "optimal_thresholds.json")
+        with open(path, "w", encoding="utf-8") as f:
+            json.dump(results, f, indent=2, ensure_ascii=False)
+        print(path)
+    return results

@@ -48,8 +48,11 @@ def _flax_path_to_torch_key(path: Tuple[str, ...], leaf: str) -> str:
     for p in path:
         m = re.match(r"^(.*)_(\d+)$", p)
         if m and m.group(1) in (
+            # VAE (diffusers layout)
             "down_blocks", "up_blocks", "resnets", "attentions",
             "downsamplers", "upsamplers", "to_out",
+            # tagger heads (reference nn.Sequential indices)
+            "classifier", "channel_att", "spatial_att", "feature_compress",
         ):
             out.append(m.group(1))
             out.append(m.group(2))

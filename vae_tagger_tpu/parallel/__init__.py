@@ -1,0 +1,17 @@
+from .mesh import (
+    make_mesh,
+    batch_sharding,
+    replicated_sharding,
+    shard_batch,
+    replicate,
+    is_main_process,
+)
+
+__all__ = [
+    "make_mesh",
+    "batch_sharding",
+    "replicated_sharding",
+    "shard_batch",
+    "replicate",
+    "is_main_process",
+]

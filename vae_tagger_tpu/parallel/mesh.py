@@ -1,0 +1,72 @@
+"""Device mesh + sharding helpers (SPMD data parallelism).
+
+The reference's only multi-device path is HF Accelerate DDP: NCCL allreduce
+hidden behind ``accelerator.prepare/backward`` (train_full.py:188-190,248).
+The TPU-native equivalent is jit-compiled SPMD over a ``Mesh``:
+
+- params/opt state replicated (``P()``), batch sharded on the ``data`` axis
+  (``P('data')``);
+- gradients are averaged by XLA-inserted allreduces over ICI — loss means
+  over the global batch lower to ``psum`` automatically under jit;
+- ``jax.process_index() == 0`` replaces ``accelerator.is_main_process``.
+
+One mesh axis today; the helpers accept an axis tuple so a future ``model``
+axis (tensor parallelism) slots in without API changes.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(axis_names: Sequence[str] = ("data",),
+              devices: Optional[Sequence] = None) -> Mesh:
+    """1-D data mesh over all (or the given) devices."""
+    devices = list(devices) if devices is not None else jax.devices()
+    if len(axis_names) != 1:
+        raise NotImplementedError("only a 1-D mesh is defined today")
+    return Mesh(np.asarray(devices), tuple(axis_names))
+
+
+def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    """Shard the leading (batch) dimension across the mesh."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: dict, mesh: Mesh, axis: str = "data") -> dict:
+    """Device-put every array in the batch with its batch axis sharded."""
+    sharding = batch_sharding(mesh, axis)
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def replicate(tree, mesh: Mesh):
+    """Device-put a pytree fully replicated on the mesh."""
+    sharding = replicated_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def is_main_process() -> bool:
+    """Rank gating for logging/checkpointing (multi-host)."""
+    return jax.process_index() == 0
+
+
+def initialize_distributed():
+    """Multi-host init (no-op on single host).  The reference leaves process
+    groups to torchrun/Accelerate; jax.distributed is the SPMD equivalent."""
+    if jax.process_count() > 1:
+        return  # already initialized
+    try:
+        import os
+
+        if os.environ.get("JAX_COORDINATOR_ADDRESS"):
+            jax.distributed.initialize()
+    except Exception as e:
+        print(f"jax.distributed.initialize skipped: {e}")

@@ -1,0 +1,137 @@
+"""Shared training-loop machinery for the three trainers.
+
+Handles what train_{vae,decoder,full}.py each reimplement in the reference:
+dataset/loader construction, the 90/10 split, epoch iteration with async
+metric logging, history JSON, and best/periodic checkpoint selection
+(train_full.py:192-382).  Device placement is SPMD: params replicated on the
+mesh, batches sharded on the 'data' axis.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Callable, Dict, Optional
+
+import jax
+import numpy as np
+
+from ..data.dataset import TaggedImageDataset
+from ..data.loader import DataLoader, train_val_split
+from ..parallel.mesh import is_main_process, make_mesh, shard_batch
+
+
+def build_dataset_and_loaders(args, return_triplets: bool):
+    """Dataset + train/val loaders from reference-style args."""
+    dataset = TaggedImageDataset(
+        json_path=args.json_path,
+        tags_csv_path=args.tags_csv_path,
+        resolution=args.resolution,
+        use_bucketing=args.use_bucketing,
+        base_resolution=args.base_resolution,
+        max_resolution=args.max_resolution,
+        bucket_step=args.bucket_step,
+        return_triplets=return_triplets,
+        seed=args.seed,
+    )
+    train_idx, val_idx = train_val_split(len(dataset), 0.1, seed=args.seed or 42)
+    n_dev = len(jax.devices())
+    global_batch = args.train_batch_size * n_dev
+    train_loader = DataLoader(dataset, global_batch, shuffle=True,
+                              num_workers=args.num_workers,
+                              prefetch_factor=args.prefetch_factor,
+                              seed=args.seed, indices=train_idx)
+    val_loader = DataLoader(dataset, global_batch, shuffle=False,
+                            num_workers=max(1, args.num_workers // 2),
+                            prefetch_factor=args.prefetch_factor,
+                            seed=args.seed, indices=val_idx)
+    print(f"train size: {len(train_idx)}, val size: {len(val_idx)}, "
+          f"global batch: {global_batch} ({n_dev} devices)")
+    return dataset, train_loader, val_loader
+
+
+class EpochLoop:
+    """Runs epochs; tracks history; invokes checkpoint callbacks."""
+
+    def __init__(self, args, train_loader, val_loader,
+                 run_train_step: Callable, run_eval_step: Callable,
+                 on_best: Callable, on_periodic: Optional[Callable] = None,
+                 log_metric_keys=("loss",)):
+        self.args = args
+        self.train_loader = train_loader
+        self.val_loader = val_loader
+        self.run_train_step = run_train_step
+        self.run_eval_step = run_eval_step
+        self.on_best = on_best
+        self.on_periodic = on_periodic
+        self.log_metric_keys = log_metric_keys
+        self.mesh = make_mesh()
+        self.history = {"train_loss": [], "val_loss": [], "learning_rates": []}
+        self.best_val_loss = float("inf")
+
+    def run(self, state, lr_schedule=None):
+        args = self.args
+        global_step = 0
+        for epoch in range(args.num_epochs):
+            epoch_t0 = time.perf_counter()
+            train_losses = []
+            pending = []  # (step, metrics) — read one step late (no sync)
+            images_seen = 0
+            for step, batch in enumerate(self.train_loader):
+                batch = shard_batch(batch, self.mesh)
+                state, metrics = self.run_train_step(state, batch, global_step)
+                images_seen += int(np.asarray(batch["labels"]).shape[0])
+                pending.append((step, metrics))
+                if len(pending) > 1:
+                    self._drain(pending.pop(0), train_losses, epoch,
+                                lr_schedule, global_step)
+                global_step += 1
+            for item in pending:
+                self._drain(item, train_losses, epoch, lr_schedule,
+                            global_step)
+
+            val_losses = []
+            for batch in self.val_loader:
+                batch = shard_batch(batch, self.mesh)
+                metrics = self.run_eval_step(state, batch, global_step)
+                val_losses.append(float(jax.device_get(metrics["loss"])))
+
+            avg_train = float(np.mean(train_losses)) if train_losses else 0.0
+            avg_val = float(np.mean(val_losses)) if val_losses else 0.0
+            lr = (float(lr_schedule(global_step)) if lr_schedule else 0.0)
+            self.history["train_loss"].append(avg_train)
+            self.history["val_loss"].append(avg_val)
+            self.history["learning_rates"].append(lr)
+
+            if is_main_process():
+                dt = time.perf_counter() - epoch_t0
+                print(f"Epoch {epoch} completed - Train Loss: {avg_train:.4f}, "
+                      f"Val Loss: {avg_val:.4f} "
+                      f"({images_seen / max(dt, 1e-9):.2f} images/sec)")
+                if avg_val < self.best_val_loss:
+                    self.best_val_loss = avg_val
+                    print(f"New best validation loss: {avg_val:.4f}")
+                    self.on_best(state, epoch)
+                if (self.on_periodic is not None
+                        and (epoch + 1) % args.save_steps == 0):
+                    self.on_periodic(state, epoch)
+        return state
+
+    def _drain(self, item, train_losses, epoch, lr_schedule, global_step):
+        step, metrics = item
+        host = {k: float(jax.device_get(v)) for k, v in metrics.items()
+                if np.ndim(jax.device_get(v)) == 0}
+        train_losses.append(host.get("loss", 0.0))
+        if is_main_process() and step % self.args.logging_steps == 0:
+            parts = [f"Epoch: {epoch}", f"Step: {step}"]
+            for k in self.log_metric_keys:
+                if k in host:
+                    parts.append(f"{k}: {host[k]:.4f}")
+            if lr_schedule is not None:
+                parts.append(f"LR: {float(lr_schedule(global_step)):.2e}")
+            print(", ".join(parts))
+
+    def save_history(self, output_dir: str):
+        with open(os.path.join(output_dir, "training_history.json"), "w") as f:
+            json.dump(self.history, f, indent=2)

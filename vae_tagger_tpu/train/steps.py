@@ -1,0 +1,261 @@
+"""Jit-compiled training/eval step builders for the three trainers.
+
+Each builder closes over the static model modules + loss config and returns
+``(train_step, eval_step)`` jitted functions.  TPU-first design decisions
+(vs the reference hot loops, SURVEY.md §3):
+
+- the anchor/positive/negative triplet runs as ONE (3B, H, W, C) encoder
+  call instead of three sequential forwards (train_full.py:209-211);
+- the decodes of positive/negative — computed and discarded by the reference
+  — are never built, and the anchor decode exists only when the loss uses it
+  (XLA would DCE it anyway; we don't trace it);
+- no per-step host sync: steps return scalar dicts that the loop reads
+  asynchronously (the reference calls ``.item()`` every step,
+  train_full.py:257);
+- uint8 pixels normalize on device.
+
+Batches may carry ``batch_mask`` padding (fixed shapes); the masked rows are
+duplicates of real samples, so the batch mean is a slight reweighting on the
+final partial batch only — same samples, compiled shapes.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..losses.classification import (
+    bce_with_logits,
+    class_balanced_loss,
+    focal_loss,
+)
+from ..losses.combined import LossConfig, log_damped_kl
+from ..losses.metric_learning import contrastive_loss, triplet_loss
+from ..models.autoencoder_kl import AutoencoderKL, encode_scaled
+from ..ops.image import normalize_uint8
+
+
+def _classification_term(cfg: LossConfig, logits, targets, cb_weights):
+    if cfg.use_class_balanced and cb_weights is not None:
+        return class_balanced_loss(logits, targets, cb_weights)
+    if cfg.use_focal_loss:
+        return focal_loss(logits, targets, cfg.focal_alpha, cfg.focal_gamma)
+    return bce_with_logits(logits, targets)
+
+
+def _decoder_forward(decoder, params, batch_stats, latents, *, train, rng):
+    variables = {"params": params}
+    if batch_stats is not None:
+        variables["batch_stats"] = batch_stats
+    if train:
+        out = decoder.apply(variables, latents, deterministic=False,
+                            rngs={"dropout": rng},
+                            mutable=["batch_stats"] if batch_stats is not None
+                            else False)
+        if batch_stats is not None:
+            logits, mutated = out
+            return logits, mutated["batch_stats"]
+        return out, None
+    logits = decoder.apply(variables, latents, deterministic=True)
+    return logits, batch_stats
+
+
+# --------------------------------------------------------------------------
+# train_decoder: frozen VAE, classifier-only (train_decoder.py:173-263)
+# --------------------------------------------------------------------------
+
+def make_decoder_steps(vae: AutoencoderKL, decoder, cfg: LossConfig,
+                       cb_weights=None, compute_dtype=jnp.float32):
+    def encode(vae_params, pixels_uint8):
+        x = normalize_uint8(pixels_uint8, compute_dtype)
+        posterior = vae.apply({"params": vae_params}, x,
+                              method=AutoencoderKL.encode)
+        return jax.lax.stop_gradient(
+            encode_scaled(posterior.mode(), vae.config)).astype(compute_dtype)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def train_step(state, vae_params, batch, rng):
+        latents = encode(vae_params, batch["pixel_values"])
+
+        def loss_fn(params):
+            logits, new_stats = _decoder_forward(
+                decoder, params, state.batch_stats, latents,
+                train=True, rng=rng)
+            loss = _classification_term(cfg, logits, batch["labels"],
+                                        cb_weights)
+            return loss, new_stats
+
+        (loss, new_stats), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        state = state.apply_gradients(grads, new_batch_stats=new_stats)
+        return state, {"loss": loss}
+
+    @jax.jit
+    def eval_step(state, vae_params, batch):
+        latents = encode(vae_params, batch["pixel_values"])
+        logits, _ = _decoder_forward(decoder, state.params,
+                                     state.batch_stats, latents,
+                                     train=False, rng=None)
+        loss = _classification_term(cfg, logits, batch["labels"], cb_weights)
+        probs = jax.nn.sigmoid(logits.astype(jnp.float32))
+        return {"loss": loss, "probs": probs}
+
+    return train_step, eval_step
+
+
+# --------------------------------------------------------------------------
+# train_vae: VAE-only triplet training (train_vae.py:119-213)
+# --------------------------------------------------------------------------
+
+def make_vae_steps(vae: AutoencoderKL, cfg: LossConfig,
+                   use_simplified: bool = True,
+                   compute_dtype=jnp.float32):
+    def forward_losses(vae_params, batch, rng):
+        b = batch["anchor"].shape[0]
+        images = jnp.concatenate([batch["anchor"], batch["positive"],
+                                  batch["negative"]], axis=0)
+        x = normalize_uint8(images, compute_dtype)
+        posterior = vae.apply({"params": vae_params}, x,
+                              method=AutoencoderKL.encode)
+        z = posterior.sample(rng)
+        z_a, z_p, z_n = z[:b], z[b:2 * b], z[2 * b:]
+
+        recon_a = vae.apply({"params": vae_params}, z_a,
+                            method=AutoencoderKL.decode)
+        anchor_f32 = normalize_uint8(batch["anchor"], jnp.float32)
+        recon_loss = jnp.mean(jnp.square(
+            recon_a.astype(jnp.float32) - anchor_f32))
+
+        kl = posterior.kl()
+        kl_loss = log_damped_kl(kl[:b], kl[b:2 * b], kl[2 * b:])
+
+        trip = triplet_loss(z_a, z_p, z_n, batch["labels"],
+                            batch.get("positive_labels", batch["labels"]),
+                            margin=cfg.triplet_margin,
+                            similarity_type=cfg.similarity_type)
+        if use_simplified:
+            # KL monitored, not optimized (train_vae.py:139-156)
+            total = (cfg.reconstruction_weight * recon_loss
+                     + cfg.triplet_weight * trip)
+        else:
+            total = (cfg.reconstruction_weight * recon_loss
+                     + cfg.kl_weight * kl_loss
+                     + cfg.triplet_weight * trip)
+        return total, {"loss": total, "reconstruction_loss": recon_loss,
+                       "kl_loss": kl_loss, "triplet_loss": trip}
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def train_step(state, batch, rng):
+        (_, metrics), grads = jax.value_and_grad(
+            lambda p: forward_losses(p, batch, rng), has_aux=True
+        )(state.params)
+        state = state.apply_gradients(grads)
+        return state, metrics
+
+    @jax.jit
+    def eval_step(state, batch, rng):
+        _, metrics = forward_losses(state.params, batch, rng)
+        return metrics
+
+    return train_step, eval_step
+
+
+# --------------------------------------------------------------------------
+# train_full: end-to-end VAE + decoder (train_full.py:195-255)
+# --------------------------------------------------------------------------
+
+def make_full_steps(vae: AutoencoderKL, decoder, cfg: LossConfig,
+                    use_simplified: bool = True, adaptive_module=None,
+                    cb_weights=None, compute_dtype=jnp.float32):
+    """Params tree: {'vae': ..., 'decoder': ..., ['adaptive': ...]}."""
+
+    def forward_losses(params, batch_stats, batch, rng, *, train):
+        rng_sample, rng_dropout = jax.random.split(rng)
+        b = batch["anchor"].shape[0]
+        images = jnp.concatenate([batch["anchor"], batch["positive"],
+                                  batch["negative"]], axis=0)
+        x = normalize_uint8(images, compute_dtype)
+        posterior = vae.apply({"params": params["vae"]}, x,
+                              method=AutoencoderKL.encode)
+        z = posterior.sample(rng_sample)
+        z_a, z_p, z_n = z[:b], z[b:2 * b], z[2 * b:]
+
+        # classification input: scaled/shifted anchor mode, no grad to VAE
+        # (train_full.py:217-224)
+        latents = jax.lax.stop_gradient(
+            encode_scaled(posterior.mean[:b], vae.config)
+        ).astype(compute_dtype)
+        logits, new_stats = _decoder_forward(
+            decoder, params["decoder"], batch_stats, latents,
+            train=train, rng=rng_dropout)
+
+        labels = batch["labels"]
+        positive_labels = batch.get("positive_labels", labels)
+        metrics = {}
+
+        if use_simplified:
+            if cfg.use_contrastive and cfg.contrastive_weight > 0:
+                semantic = contrastive_loss(
+                    z_a, z_p, labels, positive_labels,
+                    margin=cfg.contrastive_margin,
+                    similarity_type=cfg.similarity_type)
+                semantic_w = cfg.contrastive_weight
+                metrics["contrastive_loss"] = semantic
+            else:
+                semantic = triplet_loss(
+                    z_a, z_p, z_n, labels, positive_labels,
+                    margin=cfg.triplet_margin,
+                    similarity_type=cfg.similarity_type)
+                semantic_w = cfg.triplet_weight
+                metrics["triplet_loss"] = semantic
+            cls = _classification_term(cfg, logits, labels, cb_weights)
+            total = semantic_w * semantic + cfg.classification_weight * cls
+            metrics["classification_loss"] = cls
+        else:
+            recon_a = vae.apply({"params": params["vae"]}, z_a,
+                                method=AutoencoderKL.decode)
+            anchor_f32 = normalize_uint8(batch["anchor"], jnp.float32)
+            recon = jnp.mean(jnp.square(
+                recon_a.astype(jnp.float32) - anchor_f32))
+            kl = posterior.kl()
+            klr = log_damped_kl(kl[:b], kl[b:2 * b], kl[2 * b:])
+            trip = triplet_loss(z_a, z_p, z_n, labels, positive_labels,
+                                margin=cfg.triplet_margin,
+                                similarity_type=cfg.similarity_type)
+            cls = _classification_term(cfg, logits, labels, cb_weights)
+            metrics.update(reconstruction_loss=recon, kl_loss=klr,
+                           triplet_loss=trip, classification_loss=cls)
+            if cfg.use_adaptive_weights and adaptive_module is not None:
+                total, weights = adaptive_module.apply(
+                    {"params": params["adaptive"]}, [recon, klr, trip, cls])
+                metrics["adaptive_weights"] = weights
+            else:
+                total = (cfg.reconstruction_weight * recon
+                         + cfg.kl_weight * klr
+                         + cfg.triplet_weight * trip
+                         + cfg.classification_weight * cls)
+
+        metrics["loss"] = total
+        probs = jax.nn.sigmoid(logits.astype(jnp.float32))
+        return total, (metrics, new_stats, probs)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def train_step(state, batch, rng):
+        (_, (metrics, new_stats, _)), grads = jax.value_and_grad(
+            lambda p: forward_losses(p, state.batch_stats, batch, rng,
+                                     train=True),
+            has_aux=True)(state.params)
+        state = state.apply_gradients(grads, new_batch_stats=new_stats)
+        return state, metrics
+
+    @jax.jit
+    def eval_step(state, batch, rng):
+        _, (metrics, _, probs) = forward_losses(
+            state.params, state.batch_stats, batch, rng, train=False)
+        metrics["probs"] = probs
+        return metrics
+
+    return train_step, eval_step

@@ -1,0 +1,138 @@
+"""Frozen-VAE classifier training (reference: train_decoder.py:30-280).
+
+The VAE is a constant feature extractor: its params never enter the
+optimizer, and the per-batch encode runs inside the same jitted step as the
+decoder update (the reference does a separate no_grad encode per batch,
+train_decoder.py:182-183).
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.cli import resolve_attention_flags
+from ..core.precision import resolve_mixed_precision
+from ..data.loader import DataLoader
+from ..eval import evaluate_model, find_optimal_threshold
+from ..infer.engine import build_decoder, load_vae_bundle
+from ..io.orbax_io import restore_train_state, save_train_state
+from ..io.torch_bin import load_decoder_params, save_decoder_bin
+from ..losses.classification import class_balanced_weights
+from ..losses.combined import LossConfig
+from ..parallel.mesh import make_mesh, replicate, shard_batch
+from .loop import EpochLoop, build_dataset_and_loaders
+from .schedule import build_lr_schedule
+from .state import TrainState, build_optimizer
+from .steps import make_decoder_steps
+from ..core.config import get_vae_latent_info
+
+
+def _init_decoder_variables(decoder, latent_channels, seed=0):
+    z = jnp.zeros((1, 8, 8, latent_channels))
+    return jax.jit(decoder.init, static_argnames=("deterministic",))(
+        {"params": jax.random.key(seed)}, z, deterministic=True)
+
+
+def train_decoder(args):
+    os.makedirs(args.output_dir, exist_ok=True)
+    policy = resolve_mixed_precision(args.mixed_precision)
+    attention_config = resolve_attention_flags(args)
+
+    vae, vae_params = load_vae_bundle(
+        args.vae_checkpoint, args.vae_config_path, policy=policy,
+        require_checkpoint=True)
+    print(f"VAE latent info: {get_vae_latent_info(args.resolution, vae.config.latent_channels)}")
+
+    dataset, train_loader, val_loader = build_dataset_and_loaders(
+        args, return_triplets=False)
+    num_classes = len(dataset.tags)
+    class_names = dataset.tags
+
+    decoder = build_decoder(num_classes, args.use_attention, attention_config,
+                            latent_channels=vae.config.latent_channels,
+                            policy=policy)
+    variables = _init_decoder_variables(decoder, vae.config.latent_channels,
+                                        seed=args.seed or 0)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats")
+    if args.decoder_checkpoint and os.path.exists(args.decoder_checkpoint):
+        print(f"loading pretrained decoder: {args.decoder_checkpoint}")
+        try:
+            params, loaded_stats = load_decoder_params(args.decoder_checkpoint)
+            batch_stats = loaded_stats or batch_stats
+        except Exception as e:
+            print(f"decoder load failed, training from scratch: {e}")
+
+    cfg = LossConfig(use_focal_loss=args.use_focal_loss,
+                     use_class_balanced=args.use_class_balanced,
+                     focal_alpha=args.focal_alpha, focal_gamma=args.focal_gamma)
+    cb_weights = (class_balanced_weights(dataset.class_distribution())
+                  if args.use_class_balanced else None)
+
+    total_steps = args.num_epochs * len(train_loader)
+    schedule = build_lr_schedule(args.lr_scheduler_type, args.learning_rate,
+                                 args.lr_warmup_steps, total_steps)
+    tx = build_optimizer(schedule, args.weight_decay, args.max_grad_norm,
+                         args.gradient_accumulation_steps)
+    state = TrainState.create(params, tx, batch_stats=batch_stats)
+
+    mesh = make_mesh()
+    state = replicate(state, mesh)
+    vae_params = replicate(vae_params, mesh)
+
+    train_step, eval_step = make_decoder_steps(
+        vae, decoder, cfg, cb_weights, compute_dtype=policy.compute_dtype)
+    base_rng = jax.random.key(args.seed or 0)
+
+    def run_train(state, batch, global_step):
+        rng = jax.random.fold_in(base_rng, global_step)
+        return train_step(state, vae_params, batch, rng)
+
+    def run_eval(state, batch, global_step):
+        return eval_step(state, vae_params, batch)
+
+    def save_decoder(state, suffix):
+        host = jax.device_get(state)
+        save_decoder_bin(host.params, host.batch_stats,
+                         os.path.join(args.output_dir, suffix))
+
+    def on_best(state, epoch):
+        save_train_state(state, os.path.join(args.output_dir,
+                                             "best_checkpoint"))
+        save_decoder(state, "best_pytorch_model.bin")
+        print(f"best decoder saved to: "
+              f"{args.output_dir}/best_pytorch_model.bin")
+
+    def on_periodic(state, epoch):
+        save_train_state(state, os.path.join(args.output_dir,
+                                             f"checkpoint-{epoch}"))
+        save_decoder(state, "pytorch_model.bin")
+        print(f"checkpoint decoder saved to: "
+              f"{args.output_dir}/pytorch_model.bin")
+
+    loop = EpochLoop(args, train_loader, val_loader, run_train, run_eval,
+                     on_best, on_periodic)
+    if getattr(args, "resume_from", None):
+        state = restore_train_state(state, args.resume_from)
+        print(f"resumed train state from {args.resume_from} "
+              f"at step {int(state.step)}")
+    state = loop.run(state, lr_schedule=schedule)
+
+    print("training complete; final evaluation...")
+    loop.save_history(args.output_dir)
+
+    def predict_fn(batch):
+        sb = shard_batch(batch, mesh)
+        return np.asarray(eval_step(state, vae_params, sb)["probs"])
+
+    thresholds = find_optimal_threshold(predict_fn, val_loader, class_names,
+                                        output_dir=args.output_dir)
+    evaluate_model(predict_fn, val_loader, class_names,
+                   threshold=thresholds["global_threshold"],
+                   output_dir=args.output_dir)
+    print("training and evaluation complete")
+    return state
