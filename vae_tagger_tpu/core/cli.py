@@ -91,6 +91,11 @@ def add_loss_args(p: argparse.ArgumentParser):
     p.add_argument("--bce_weight", type=float, default=1.0)
     p.add_argument("--triplet_margin", type=float, default=1.0)
     p.add_argument("--use_simplified_loss", action="store_true", default=True)
+    p.add_argument("--no_simplified_loss", action="store_true",
+                   help="use the full CombinedLoss (recon+KL+triplet+cls). "
+                   "TPU extension: in the reference --use_simplified_loss "
+                   "defaults True and cannot be disabled, making the full "
+                   "loss branch unreachable (train_full.py:438)")
     p.add_argument("--use_focal_loss", action="store_true")
     p.add_argument("--use_class_balanced", action="store_true")
     p.add_argument("--use_adaptive_weights", action="store_true")
