@@ -45,6 +45,48 @@ def test_flash_attention_gradients():
                                rtol=1e-3, atol=1e-3)
 
 
+@pytest.mark.parametrize("apply_silu", [True, False])
+def test_groupnorm_silu_kernel_matches_reference(apply_silu):
+    from vae_tagger_tpu.ops.normalization import group_norm
+    from vae_tagger_tpu.ops.pallas.groupnorm_silu import group_norm_silu_pallas
+
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(2, 8, 16, 128)), jnp.float32)
+    scale = jnp.asarray(rng.normal(size=(128,)), jnp.float32)
+    bias = jnp.asarray(rng.normal(size=(128,)), jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        out = group_norm_silu_pallas(x, scale, bias, num_groups=32,
+                                     apply_silu=apply_silu)
+    ref = group_norm(x, scale, bias, num_groups=32, eps=1e-6)
+    if apply_silu:
+        ref = ref * jax.nn.sigmoid(ref)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_groupnorm_silu_gradients_via_dispatch():
+    """The custom-vjp wrapper must match plain autodiff of the reference."""
+    from vae_tagger_tpu.ops.normalization import group_norm, group_norm_silu
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(1, 4, 4, 16)), jnp.float32)
+    scale = jnp.ones((16,))
+    bias = jnp.zeros((16,))
+
+    def loss_fused(x, s, b):
+        return jnp.sum(group_norm_silu(x, s, b, num_groups=4) ** 2)
+
+    def loss_ref(x, s, b):
+        y = group_norm(x, s, b, num_groups=4, eps=1e-6)
+        return jnp.sum((y * jax.nn.sigmoid(y)) ** 2)
+
+    g1 = jax.grad(loss_fused, argnums=(0, 1, 2))(x, scale, bias)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(x, scale, bias)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
 def test_backend_dispatch():
     """On CPU (tests) the XLA path must be selected automatically."""
     from vae_tagger_tpu.ops import backend

@@ -94,8 +94,8 @@ class Encoder(nn.Module):
         x = MidBlock(cfg.block_out_channels[-1],
                      add_attention=cfg.mid_block_add_attention,
                      num_groups=g, name="mid_block", **kw)(x)
-        x = GroupNorm(g, name="conv_norm_out", param_dtype=self.param_dtype)(x)
-        x = nn.silu(x)
+        x = GroupNorm(g, with_silu=True, name="conv_norm_out",
+                      param_dtype=self.param_dtype)(x)
         x = _conv(2 * cfg.latent_channels, (3, 3), "conv_out",
                   self.dtype, self.param_dtype)(x)
         return x  # moments: (B, h, w, 2*latent_channels)
@@ -127,8 +127,8 @@ class Decoder(nn.Module):
                 name=f"up_blocks_{i}",
                 **kw,
             )(x)
-        x = GroupNorm(g, name="conv_norm_out", param_dtype=self.param_dtype)(x)
-        x = nn.silu(x)
+        x = GroupNorm(g, with_silu=True, name="conv_norm_out",
+                      param_dtype=self.param_dtype)(x)
         x = _conv(cfg.out_channels, (3, 3), "conv_out",
                   self.dtype, self.param_dtype)(x)
         return x

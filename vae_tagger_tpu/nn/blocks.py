@@ -21,15 +21,22 @@ from typing import Callable
 import flax.linen as nn
 import jax.numpy as jnp
 
-from ..ops import group_norm
+from ..ops.normalization import group_norm_silu
 from ..ops.attention import spatial_single_head_attention
 
 
 class GroupNorm(nn.Module):
-    """GroupNorm with torch parameter semantics (consecutive-channel groups)."""
+    """GroupNorm with torch parameter semantics (consecutive-channel groups).
+
+    ``with_silu=True`` fuses the following SiLU into the norm — on TPU this
+    dispatches to the single-HBM-pass Pallas kernel
+    (ops/pallas/groupnorm_silu.py); parameters and naming are unchanged, so
+    checkpoints are unaffected.
+    """
 
     num_groups: int = 32
     eps: float = 1e-6
+    with_silu: bool = False
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -37,7 +44,8 @@ class GroupNorm(nn.Module):
         c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,), self.param_dtype)
         bias = self.param("bias", nn.initializers.zeros, (c,), self.param_dtype)
-        return group_norm(x, scale, bias, num_groups=self.num_groups, eps=self.eps)
+        return group_norm_silu(x, scale, bias, num_groups=self.num_groups,
+                               eps=self.eps, apply_silu=self.with_silu)
 
 
 def _conv(features, kernel, name, dtype, param_dtype, strides=(1, 1), padding="SAME"):
@@ -63,11 +71,11 @@ class ResnetBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         in_channels = x.shape[-1]
-        h = GroupNorm(self.num_groups, name="norm1", param_dtype=self.param_dtype)(x)
-        h = nn.silu(h)
+        h = GroupNorm(self.num_groups, with_silu=True, name="norm1",
+                      param_dtype=self.param_dtype)(x)
         h = _conv(self.out_channels, (3, 3), "conv1", self.dtype, self.param_dtype)(h)
-        h = GroupNorm(self.num_groups, name="norm2", param_dtype=self.param_dtype)(h)
-        h = nn.silu(h)
+        h = GroupNorm(self.num_groups, with_silu=True, name="norm2",
+                      param_dtype=self.param_dtype)(h)
         h = _conv(self.out_channels, (3, 3), "conv2", self.dtype, self.param_dtype)(h)
         if in_channels != self.out_channels:
             x = _conv(self.out_channels, (1, 1), "conv_shortcut",

@@ -12,6 +12,8 @@ reference instantiates (``/root/reference/diffusers_vae_loader.py:8-35``).
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -32,6 +34,59 @@ def group_norm(x, scale, bias, *, num_groups: int, eps: float = 1e-6):
     xg = (xg - mean) * jax.lax.rsqrt(var + eps)
     x = xg.reshape(n, h, w, c).astype(orig_dtype)
     return x * scale.astype(orig_dtype) + bias.astype(orig_dtype)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_group_norm_silu(num_groups: int, eps: float, apply_silu: bool):
+    """Build the (cached) dispatching GroupNorm[+SiLU] with a custom VJP.
+
+    Forward uses the fused Pallas kernel on TPU when one sample fits VMEM
+    (one HBM pass instead of XLA's two); backward always differentiates
+    through the XLA reference (recompute — GN backward is cheap next to the
+    adjacent convs and keeps the kernel forward-only).
+    """
+
+    def reference(x, scale, bias):
+        y = group_norm(x, scale, bias, num_groups=num_groups, eps=eps)
+        if apply_silu:
+            y = y * jax.nn.sigmoid(y.astype(jnp.float32)).astype(y.dtype)
+        return y
+
+    def dispatch(x, scale, bias):
+        from . import backend
+
+        n, h, w, c = x.shape
+        if backend.use_pallas():
+            from .pallas.groupnorm_silu import (
+                fits_in_vmem,
+                group_norm_silu_pallas,
+            )
+
+            if fits_in_vmem(h * w, c, x.dtype.itemsize):
+                return group_norm_silu_pallas(
+                    x, scale, bias, num_groups=num_groups, eps=eps,
+                    apply_silu=apply_silu)
+        return reference(x, scale, bias)
+
+    @jax.custom_vjp
+    def fn(x, scale, bias):
+        return dispatch(x, scale, bias)
+
+    def fwd(x, scale, bias):
+        return dispatch(x, scale, bias), (x, scale, bias)
+
+    def bwd(residuals, g):
+        return jax.vjp(reference, *residuals)[1](g)
+
+    fn.defvjp(fwd, bwd)
+    return fn
+
+
+def group_norm_silu(x, scale, bias, *, num_groups: int, eps: float = 1e-6,
+                    apply_silu: bool = True):
+    """GroupNorm optionally fused with SiLU; Pallas-accelerated on TPU."""
+    return _make_group_norm_silu(num_groups, float(eps), bool(apply_silu))(
+        x, scale, bias)
 
 
 def layer_norm(x, scale, bias, *, eps: float = 1e-5):
