@@ -1,0 +1,60 @@
+"""Native C++ resize library: PIL parity and loader integration."""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from vae_tagger_tpu import native
+from vae_tagger_tpu.data.bucketing import SmartResize
+
+pytestmark = pytest.mark.skipif(not native.available(),
+                                reason="native library not built")
+
+
+def _smooth_image(h, w, seed=0):
+    rng = np.random.default_rng(seed)
+    img = np.cumsum(np.cumsum(rng.normal(size=(h, w, 3)), 0), 1)
+    img = (img - img.min()) / (img.max() - img.min())
+    return (img * 255).astype(np.uint8)
+
+
+@pytest.mark.parametrize("src_hw,dst_wh", [
+    ((600, 800), (256, 192)),   # landscape -> crop width
+    ((800, 600), (192, 256)),   # portrait -> crop height
+    ((512, 512), (128, 128)),   # same aspect, pure downscale
+    ((100, 100), (256, 256)),   # upscale
+])
+def test_matches_pil_lanczos(src_hw, dst_wh):
+    src = _smooth_image(*src_hw)
+    dst_w, dst_h = dst_wh
+    out_native = native.smart_resize(src, dst_w, dst_h)
+    out_pil = np.asarray(SmartResize(dst_w, dst_h)(Image.fromarray(src)))
+    diff = np.abs(out_native.astype(int) - out_pil.astype(int))
+    # independent Lanczos implementations; agree to rounding on smooth data
+    assert diff.max() <= 3, diff.max()
+    assert diff.mean() < 0.5, diff.mean()
+
+
+def test_crop_window_semantics():
+    """Center crop must use the middle of the image: paint the left half
+    black and the right half white, target square from a 2:1 image."""
+    src = np.zeros((100, 200, 3), dtype=np.uint8)
+    src[:, 100:] = 255
+    out = native.smart_resize(src, 50, 50)  # crops the central 100x100
+    # central window spans x=[50,150): half black, half white
+    assert out[:, :20].mean() < 10
+    assert out[:, 30:].mean() > 245
+
+
+def test_loader_uses_native_in_bucket_mode(tmp_path):
+    from vae_tagger_tpu.data.bucketing import load_and_transform_image
+
+    src = _smooth_image(300, 400)
+    p = tmp_path / "img.png"
+    Image.fromarray(src).save(p)
+    out = load_and_transform_image(str(p), bucket=(128, 64))
+    assert out.shape == (64, 128, 3)
+    assert out.dtype == np.uint8
+    # matches the PIL SmartResize reference pipeline
+    ref = np.asarray(SmartResize(128, 64)(Image.fromarray(src)))
+    assert np.abs(out.astype(int) - ref.astype(int)).max() <= 3

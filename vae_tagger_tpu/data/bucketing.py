@@ -126,6 +126,36 @@ class AspectRatioBucketing:
                   f"({100.0 * count / total:.1f}%)")
 
 
+def _native_smart_resize(img: Image.Image, width: int, height: int,
+                         crop_mode: str) -> Optional[np.ndarray]:
+    """Crop+Lanczos via the C++ library (vae_tagger_tpu/native) when built.
+    Returns None to signal PIL fallback.  'random' crop offsets are drawn
+    here so the sampling distribution matches SmartResize."""
+    try:
+        from .. import native
+    except Exception:
+        return None
+    if not native.available():
+        return None
+    src = np.asarray(img, dtype=np.uint8)
+    if src.ndim != 3 or src.shape[2] != 3:
+        return None
+    offset = (0, 0)
+    mode = crop_mode
+    if crop_mode == "random":
+        oh, ow = src.shape[0], src.shape[1]
+        target_ratio = width / height
+        original_ratio = ow / oh
+        if original_ratio > target_ratio:
+            offset = (random.randint(0, ow - int(oh * target_ratio)), 0)
+        elif original_ratio < target_ratio:
+            offset = (0, random.randint(0, oh - int(ow / target_ratio)))
+    try:
+        return native.smart_resize(src, width, height, mode, offset)
+    except Exception:
+        return None
+
+
 def load_and_transform_image(
     path,
     resolution: Optional[int] = None,
@@ -135,7 +165,9 @@ def load_and_transform_image(
 ) -> np.ndarray:
     """Decode an image and resize it for the model; returns HWC uint8.
 
-    - bucket given: SmartResize to (bucket_w, bucket_h)  [training bucket mode]
+    - bucket given: SmartResize to (bucket_w, bucket_h)  [training bucket
+      mode], via the native C++ Lanczos path when built (GIL-free, scales
+      with the loader thread pool; PIL fallback otherwise)
     - else: square resize to (resolution, resolution) distorting aspect
       (the reference's plain transform, modules.py:136-140)
 
@@ -144,8 +176,13 @@ def load_and_transform_image(
     """
     img = Image.open(path).convert("RGB")
     if bucket is not None:
+        out = _native_smart_resize(img, bucket[0], bucket[1], crop_mode)
+        if out is not None:
+            return out.astype(dtype, copy=False)
         img = SmartResize(bucket[0], bucket[1], crop_mode)(img)
     elif resolution is not None:
+        # parity: the reference's square transform is a distorting BILINEAR
+        # resize (torchvision Resize default) — stays on PIL
         img = img.resize((resolution, resolution), Image.BILINEAR)
     return np.asarray(img, dtype=dtype)
 

@@ -1,0 +1,96 @@
+"""ctypes binding for the native image-preprocessing library.
+
+Builds ``libvtnative.so`` from resize.cpp on first use (g++ -O3, cached next
+to the source) and exposes :func:`smart_resize` — the SmartResize semantics
+(aspect-preserving crop + Lanczos-3 resample) in C++.  Falls back cleanly:
+``available()`` is False when no compiler is present, and callers keep using
+the PIL path.
+
+Disable explicitly with ``VAE_TAGGER_NATIVE_RESIZE=0``.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "resize.cpp")
+_SO = os.path.join(_DIR, "libvtnative.so")
+
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+_CROP_MODES = {"center": 0, "top": 1, "bottom": 1, "left": 1, "right": 1,
+               "random": 2, "distort": 3}
+
+
+def _build() -> bool:
+    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+           "-o", _SO, _SRC]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        return True
+    except Exception as e:
+        print(f"native resize build failed (falling back to PIL): {e}")
+        return False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    with _lock:
+        if _tried:
+            return _lib
+        _tried = True
+        if os.environ.get("VAE_TAGGER_NATIVE_RESIZE", "1") == "0":
+            return None
+        if not os.path.exists(_SO) or (
+                os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+            if not _build():
+                return None
+        try:
+            lib = ctypes.CDLL(_SO)
+            lib.vt_smart_resize.restype = ctypes.c_int
+            lib.vt_smart_resize.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ]
+            _lib = lib
+        except OSError as e:
+            print(f"native resize load failed (falling back to PIL): {e}")
+            _lib = None
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def smart_resize(src: np.ndarray, target_width: int, target_height: int,
+                 crop_mode: str = "center",
+                 crop_offset: tuple[int, int] = (0, 0)) -> np.ndarray:
+    """Aspect-preserving crop + Lanczos-3 resize of an HWC uint8 RGB array."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native resize library unavailable")
+    src = np.ascontiguousarray(src, dtype=np.uint8)
+    if src.ndim != 3 or src.shape[2] != 3:
+        raise ValueError(f"expected (H, W, 3) uint8, got {src.shape}")
+    dst = np.empty((target_height, target_width, 3), dtype=np.uint8)
+    rc = lib.vt_smart_resize(
+        src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        src.shape[0], src.shape[1],
+        dst.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        target_height, target_width,
+        _CROP_MODES.get(crop_mode, 0), crop_offset[0], crop_offset[1],
+    )
+    if rc != 0:
+        raise RuntimeError(f"vt_smart_resize failed with code {rc}")
+    return dst
