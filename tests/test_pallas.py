@@ -20,26 +20,51 @@ def test_flash_attention_matches_xla(s):
     k = jnp.asarray(rng.normal(size=(2, s, 128)), jnp.float32)
     v = jnp.asarray(rng.normal(size=(2, s, 128)), jnp.float32)
     with pltpu.force_tpu_interpret_mode():
-        out = _flash_attention_fwd_impl(q, k, v, block_q=256, block_k=256)
+        out, lse = _flash_attention_fwd_impl(q, k, v, block_q=256,
+                                             block_k=256)
     ref = _xla_attention(q, k, v)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-4, atol=2e-4)
+    # lse must equal the logsumexp of the scaled scores
+    scores = np.einsum("bqd,bkd->bqk", q, k) / np.sqrt(q.shape[-1])
+    ref_lse = np.log(np.sum(np.exp(scores - scores.max(-1, keepdims=True)),
+                            axis=-1)) + scores.max(-1)
+    np.testing.assert_allclose(np.asarray(lse), ref_lse, rtol=1e-4,
+                               atol=1e-4)
+
+
+def test_flash_attention_gradients_multiblock_padded():
+    """Pallas dq/dkv kernels vs autodiff of the reference, with distinct
+    q/k/v, multiple blocks, and a non-block-multiple sequence (padding)."""
+    rng = np.random.default_rng(7)
+    q = jnp.asarray(rng.normal(size=(2, 320, 128)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(2, 320, 128)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(2, 320, 128)), jnp.float32)
+    ct = jnp.asarray(rng.normal(size=(2, 320, 128)), jnp.float32)
+
+    with pltpu.force_tpu_interpret_mode():
+        _, vjp = jax.vjp(flash_attention, q, k, v)
+        dq, dk, dv = vjp(ct)
+    _, vjp_ref = jax.vjp(_xla_attention, q, k, v)
+    dq_r, dk_r, dv_r = vjp_ref(ct)
+    for a, b, name in [(dq, dq_r, "dq"), (dk, dk_r, "dk"), (dv, dv_r, "dv")]:
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-4, err_msg=name)
 
 
 def test_flash_attention_gradients():
-    """custom_vjp backward (XLA recompute) must match autodiff through the
-    reference path."""
+    """End-to-end grad through the custom_vjp matches the reference path."""
     rng = np.random.default_rng(1)
     q = jnp.asarray(rng.normal(size=(1, 128, 128)), jnp.float32)
 
     def loss_flash(q):
-        with pltpu.force_tpu_interpret_mode():
-            return jnp.sum(flash_attention(q, q, q) ** 2)
+        return jnp.sum(flash_attention(q, q, q) ** 2)
 
     def loss_ref(q):
         return jnp.sum(_xla_attention(q, q, q) ** 2)
 
-    g_flash = jax.grad(loss_flash)(q)
+    with pltpu.force_tpu_interpret_mode():
+        g_flash = jax.grad(loss_flash)(q)
     g_ref = jax.grad(loss_ref)(q)
     np.testing.assert_allclose(np.asarray(g_flash), np.asarray(g_ref),
                                rtol=1e-3, atol=1e-3)

@@ -3,16 +3,22 @@
 Shapes: q, k, v are (B, S, D) with D = mid-block channels (512 for FLUX).
 S is the full latent grid — 4,096 tokens at 512px input, 16,384 at 1024px —
 so materializing the (S, S) score matrix costs up to 1 GiB fp32 per image.
-This kernel keeps O(block) memory via the standard streaming-softmax
-recurrence and accumulates in fp32 on the MXU.
+Forward AND backward run blockwise with O(block) memory:
 
-Grid layout: (batch, q_blocks, k_blocks) with the k dimension innermost; TPU
-grids execute sequentially, so the per-q-block accumulators (m, l, acc) live
-in VMEM scratch and persist across the k iterations.
+  forward:  streaming-softmax over k blocks; also emits the per-row
+            logsumexp L (lane-broadcast, read back as column 0)
+  backward: two kernels — dq (grid B x nq x nk) and dkv (grid B x nk x nq) —
+            using the standard recurrences
+              P = exp(QK^T * scale - L)
+              D = rowsum(dO * O)            (computed with XLA, one pass)
+              dV = P^T dO
+              dS = P * (dO V^T - D)
+              dQ = scale * dS K,   dK = scale * dS^T Q
 
-The backward pass currently recomputes attention with the XLA reference path
-(correct, memory-heavy); a Pallas backward kernel is the planned upgrade.
-Gradient-free inference — the benchmark path — runs entirely in this kernel.
+Grid layout keeps the reduction dimension innermost; TPU grids execute
+sequentially, so accumulators persist in VMEM scratch across those steps.
+Padding: S is padded to a block multiple; padded k columns are masked to
+-inf before exp, padded q rows get L = +BIG so their P row is exactly 0.
 """
 
 from __future__ import annotations
@@ -25,20 +31,19 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _NEG_INF = float(-1e30)
-
-
-def _choose_block(s: int, target: int) -> int:
-    """Largest multiple of 128 that divides nothing in particular — we pad S
-    to a multiple of the block, so just cap the block at the padded size."""
-    return min(target, _round_up(s, 128))
+_POS_BIG = float(1e30)
 
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref,
-                  *, scale: float, seq_len: int, block_k: int):
+# --------------------------------------------------------------------------
+# forward
+# --------------------------------------------------------------------------
+
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, acc_ref, m_ref, l_ref,
+                *, scale: float, seq_len: int, block_k: int):
     kb = pl.program_id(2)
     nk = pl.num_programs(2)
 
@@ -48,55 +53,51 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref,
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    q = q_ref[0]  # (bq, d)
-    k = k_ref[0]  # (bk, d)
+    q = q_ref[0]
+    k = k_ref[0]
     v = v_ref[0]
 
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale  # (bq, bk)
-
-    # mask out padded key columns (S was padded up to a block multiple)
     col = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
     s = jnp.where(col < seq_len, s, _NEG_INF)
 
-    m_prev = m_ref[:, :1]                       # (bq, 1)
-    m_cur = jnp.max(s, axis=-1, keepdims=True)  # (bq, 1)
-    m_new = jnp.maximum(m_prev, m_cur)
-    p = jnp.exp(s - m_new)                      # (bq, bk)
-    alpha = jnp.exp(m_prev - m_new)             # (bq, 1)
+    m_prev = m_ref[:, :1]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+    p = jnp.exp(s - m_new)
+    alpha = jnp.exp(m_prev - m_new)
     l_ref[:] = jnp.broadcast_to(
-        alpha * l_ref[:, :1] + jnp.sum(p, axis=-1, keepdims=True), l_ref.shape
-    )
+        alpha * l_ref[:, :1] + jnp.sum(p, axis=-1, keepdims=True), l_ref.shape)
     acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot(
-        p.astype(v.dtype), v, preferred_element_type=jnp.float32
-    )
+        p.astype(v.dtype), v, preferred_element_type=jnp.float32)
     m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
 
     @pl.when(kb == nk - 1)
     def _finish():
-        o_ref[0] = (acc_ref[:] / l_ref[:, :1]).astype(o_ref.dtype)
+        l_final = l_ref[:, :1]
+        o_ref[0] = (acc_ref[:] / l_final).astype(o_ref.dtype)
+        lse = m_ref[:, :1] + jnp.log(jnp.maximum(l_final, 1e-30))
+        lse_ref[0] = jnp.broadcast_to(lse, lse_ref.shape[1:])
 
 
 @functools.partial(jax.jit, static_argnames=("block_q", "block_k"))
-def _flash_attention_fwd_impl(q, k, v, block_q: int = 512, block_k: int = 512):
+def _flash_attention_fwd_impl(q, k, v, block_q: int = 512,
+                              block_k: int = 512):
+    """Returns (out (B,S,D), lse (B,S) fp32)."""
     b, s, d = q.shape
     scale = 1.0 / (d ** 0.5)
-
     block_q = min(block_q, _round_up(s, 128))
     block_k = min(block_k, _round_up(s, 128))
     s_pad = _round_up(s, max(block_q, block_k))
     if s_pad != s:
         pad = [(0, 0), (0, s_pad - s), (0, 0)]
-        q = jnp.pad(q, pad)
-        k = jnp.pad(k, pad)
-        v = jnp.pad(v, pad)
+        q, k, v = (jnp.pad(t, pad) for t in (q, k, v))
 
     grid = (b, s_pad // block_q, s_pad // block_k)
-    out = pl.pallas_call(
-        functools.partial(
-            _flash_kernel, scale=scale, seq_len=s, block_k=block_k
-        ),
+    out, lse = pl.pallas_call(
+        functools.partial(_fwd_kernel, scale=scale, seq_len=s,
+                          block_k=block_k),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda b_, qi, ki: (b_, qi, 0),
@@ -106,9 +107,16 @@ def _flash_attention_fwd_impl(q, k, v, block_q: int = 512, block_k: int = 512):
             pl.BlockSpec((1, block_k, d), lambda b_, qi, ki: (b_, ki, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, block_q, d), lambda b_, qi, ki: (b_, qi, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, s_pad, d), q.dtype),
+        out_specs=(
+            pl.BlockSpec((1, block_q, d), lambda b_, qi, ki: (b_, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, 128), lambda b_, qi, ki: (b_, qi, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, s_pad, d), q.dtype),
+            jax.ShapeDtypeStruct((b, s_pad, 128), jnp.float32),
+        ),
         scratch_shapes=[
             pltpu.VMEM((block_q, d), jnp.float32),
             pltpu.VMEM((block_q, 128), jnp.float32),
@@ -116,13 +124,191 @@ def _flash_attention_fwd_impl(q, k, v, block_q: int = 512, block_k: int = 512):
         ],
         cost_estimate=pl.CostEstimate(
             flops=4 * b * s_pad * s_pad * d,
-            bytes_accessed=3 * b * s_pad * d * q.dtype.itemsize
-            + b * s_pad * d * q.dtype.itemsize,
+            bytes_accessed=4 * b * s_pad * d * q.dtype.itemsize,
             transcendentals=b * s_pad * s_pad,
         ),
     )(q, k, v)
-    return out[:, :s, :]
+    return out[:, :s, :], lse[:, :s, 0]
 
+
+# --------------------------------------------------------------------------
+# backward
+# --------------------------------------------------------------------------
+
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dmat_ref, dq_ref,
+                   acc_ref, *, scale: float, seq_len: int, block_k: int):
+    kb = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(kb == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
+    lse = lse_ref[0][:, :1]     # (bq, 1)
+    dmat = dmat_ref[0][:, :1]   # (bq, 1)
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    col = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(col < seq_len, s, _NEG_INF)
+    p = jnp.exp(s - lse)                                   # (bq, bk)
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    ds = p * (dp - dmat)
+    acc_ref[:] += jax.lax.dot(ds.astype(k.dtype), k,
+                              preferred_element_type=jnp.float32)
+
+    @pl.when(kb == nk - 1)
+    def _finish():
+        dq_ref[0] = (acc_ref[:] * scale).astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dmat_ref,
+                    dk_ref, dv_ref, dk_acc, dv_acc,
+                    *, scale: float, seq_len: int, block_k: int):
+    qb = pl.program_id(2)
+    nq = pl.num_programs(2)
+
+    @pl.when(qb == 0)
+    def _init():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
+    lse = lse_ref[0][:, :1]
+    dmat = dmat_ref[0][:, :1]
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    col = pl.program_id(1) * block_k + jax.lax.broadcasted_iota(
+        jnp.int32, s.shape, 1)
+    s = jnp.where(col < seq_len, s, _NEG_INF)
+    p = jnp.exp(s - lse)                                   # (bq, bk)
+
+    # dV += P^T dO : contract over the q rows
+    dv_acc[:] += jax.lax.dot_general(
+        p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    ds = p * (dp - dmat)
+    dk_acc[:] += jax.lax.dot_general(
+        ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(qb == nq - 1)
+    def _finish():
+        dk_ref[0] = (dk_acc[:] * scale).astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "block_k"))
+def _flash_attention_bwd_impl(q, k, v, o, lse, g, block_q: int = 256,
+                              block_k: int = 256):
+    b, s, d = q.shape
+    scale = 1.0 / (d ** 0.5)
+    block_q = min(block_q, _round_up(s, 128))
+    block_k = min(block_k, _round_up(s, 128))
+    s_pad = _round_up(s, max(block_q, block_k))
+
+    # D = rowsum(dO * O): one fused elementwise pass in XLA
+    dmat = jnp.sum(g.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
+
+    if s_pad != s:
+        pad3 = [(0, 0), (0, s_pad - s), (0, 0)]
+        q, k, v, o, g = (jnp.pad(t, pad3) for t in (q, k, v, o, g))
+        # padded q rows: L = +BIG so P == 0 exactly
+        lse = jnp.pad(lse, [(0, 0), (0, s_pad - s)],
+                      constant_values=_POS_BIG)
+        dmat = jnp.pad(dmat, [(0, 0), (0, s_pad - s)])
+    lse_b = jnp.broadcast_to(lse[..., None], (b, s_pad, 128))
+    dmat_b = jnp.broadcast_to(dmat[..., None], (b, s_pad, 128))
+
+    nq, nk = s_pad // block_q, s_pad // block_k
+
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, scale=scale, seq_len=s,
+                          block_k=block_k),
+        grid=(b, nq, nk),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b_, qi, ki: (b_, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda b_, qi, ki: (b_, ki, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda b_, qi, ki: (b_, ki, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, d), lambda b_, qi, ki: (b_, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, 128), lambda b_, qi, ki: (b_, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, 128), lambda b_, qi, ki: (b_, qi, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda b_, qi, ki: (b_, qi, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, s_pad, d), q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=6 * b * s_pad * s_pad * d,
+            bytes_accessed=5 * b * s_pad * d * q.dtype.itemsize,
+            transcendentals=b * s_pad * s_pad,
+        ),
+    )(q, k, v, g, lse_b, dmat_b)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, scale=scale, seq_len=s,
+                          block_k=block_k),
+        grid=(b, nk, nq),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b_, ki, qi: (b_, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda b_, ki, qi: (b_, ki, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda b_, ki, qi: (b_, ki, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, d), lambda b_, ki, qi: (b_, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, 128), lambda b_, ki, qi: (b_, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, 128), lambda b_, ki, qi: (b_, qi, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, block_k, d), lambda b_, ki, qi: (b_, ki, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda b_, ki, qi: (b_, ki, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, s_pad, d), k.dtype),
+            jax.ShapeDtypeStruct((b, s_pad, d), v.dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_k, d), jnp.float32),
+            pltpu.VMEM((block_k, d), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=8 * b * s_pad * s_pad * d,
+            bytes_accessed=6 * b * s_pad * d * q.dtype.itemsize,
+            transcendentals=b * s_pad * s_pad,
+        ),
+    )(q, k, v, g, lse_b, dmat_b)
+
+    return dq[:, :s, :], dk[:, :s, :], dv[:, :s, :]
+
+
+# --------------------------------------------------------------------------
+# public op
+# --------------------------------------------------------------------------
 
 def _xla_attention_f32(q, k, v):
     d = q.shape[-1]
@@ -134,20 +320,18 @@ def _xla_attention_f32(q, k, v):
 
 @jax.custom_vjp
 def flash_attention(q, k, v):
-    return _flash_attention_fwd_impl(q, k, v)
+    out, _ = _flash_attention_fwd_impl(q, k, v)
+    return out
 
 
 def _fwd(q, k, v):
-    return _flash_attention_fwd_impl(q, k, v), (q, k, v)
+    out, lse = _flash_attention_fwd_impl(q, k, v)
+    return out, (q, k, v, out, lse)
 
 
 def _bwd(res, g):
-    # Recompute with the XLA path and differentiate through it.  O(S^2)
-    # memory — acceptable for training resolutions; to be replaced by a
-    # Pallas backward kernel.
-    q, k, v = res
-    _, vjp = jax.vjp(_xla_attention_f32, q, k, v)
-    return vjp(g)
+    q, k, v, o, lse = res
+    return _flash_attention_bwd_impl(q, k, v, o, lse, g)
 
 
 flash_attention.defvjp(_fwd, _bwd)
