@@ -1,0 +1,121 @@
+"""End-to-end inference tests: engine loading from the compatible checkpoint
+formats, batched tagging, JSON output format, latent extraction."""
+
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vae_tagger_tpu.core.config import default_flux_vae_config
+from vae_tagger_tpu.infer import TaggerEngine, infer_and_classify
+from vae_tagger_tpu.infer.classify import _format_results
+from vae_tagger_tpu.infer.latents import (
+    VAEOnlyEngine,
+    flatten_latent_torch_order,
+    infer_and_save_latents,
+)
+from vae_tagger_tpu.io import save_decoder_bin, save_vae_pretrained
+from vae_tagger_tpu.io.safetensors_io import load_vae_pretrained_dir
+from vae_tagger_tpu.models.autoencoder_kl import AutoencoderKL
+from vae_tagger_tpu.infer.engine import build_decoder
+from vae_tagger_tpu.utils import create_synthetic_dataset
+
+CFG = default_flux_vae_config(block_out_channels=(8, 16, 16, 16),
+                              norm_num_groups=4, latent_channels=16,
+                              sample_size=64)
+
+
+@pytest.fixture(scope="module")
+def artifacts(tmp_path_factory):
+    root = tmp_path_factory.mktemp("artifacts")
+    ds = create_synthetic_dataset(str(root / "test_dataset"), num_images=6,
+                                  img_size=64, seed=0)
+    # tiny VAE checkpoint in the diffusers layout
+    model = AutoencoderKL(CFG)
+    params = jax.jit(model.init)({"params": jax.random.key(0)},
+                                 jnp.zeros((1, 64, 64, 3)),
+                                 jax.random.key(1))["params"]
+    vae_dir = str(root / "vae")
+    save_vae_pretrained(params, CFG, vae_dir)
+    # decoder .bin
+    decoder = build_decoder(ds["num_tags"], use_attention=True,
+                            latent_channels=16)
+    variables = jax.jit(decoder.init, static_argnames=("deterministic",))(
+        {"params": jax.random.key(2)}, jnp.zeros((1, 8, 8, 16)),
+        deterministic=True)
+    bin_path = str(root / "decoder.bin")
+    save_decoder_bin(variables["params"], variables.get("batch_stats"),
+                     bin_path)
+    return root, ds, vae_dir, bin_path
+
+
+def test_engine_load_and_classify(artifacts):
+    root, ds, vae_dir, bin_path = artifacts
+    engine = TaggerEngine.load(
+        vae_checkpoint=f"{vae_dir}/diffusion_pytorch_model.safetensors",
+        decoder_checkpoint=bin_path,
+        tags_csv_path=ds["tags_csv"],
+        vae_config_path=f"{vae_dir}/config.json")
+    px = np.zeros((2, 64, 64, 3), dtype=np.uint8)
+    probs = engine.classify(px)
+    assert probs.shape == (2, ds["num_tags"])
+    assert np.all((probs >= 0) & (probs <= 1))
+    conf, idx = engine.get_confidence(px)
+    assert np.all(np.diff(conf, axis=-1) <= 0)  # descending
+    np.testing.assert_allclose(np.take_along_axis(probs, idx, -1), conf)
+
+
+def test_infer_and_classify_json_format(artifacts, tmp_path):
+    root, ds, vae_dir, bin_path = artifacts
+    engine = TaggerEngine.load(
+        vae_checkpoint=f"{vae_dir}/diffusion_pytorch_model.safetensors",
+        decoder_checkpoint=bin_path,
+        tags_csv_path=ds["tags_csv"],
+        vae_config_path=f"{vae_dir}/config.json")
+    results = infer_and_classify(
+        engine, ds["images_dir"], output_dir=str(tmp_path), resolution=64,
+        confidence_threshold=0.3, batch_size=4, verbose=False)
+    assert len(results) == 6
+    path = tmp_path / "classification_results.json"
+    assert path.exists()
+    saved = json.loads(path.read_text())
+    entry = next(iter(saved.values()))
+    # the reference's output schema (infer_full.py:119-124)
+    assert set(entry) == {"predicted_tags", "total_tags_above_threshold",
+                          "max_confidence", "avg_confidence_top5"}
+    for tag in entry["predicted_tags"]:
+        assert set(tag) == {"tag", "confidence"}
+        assert tag["confidence"] >= 0.3
+    # sorted descending
+    confs = [t["confidence"] for t in entry["predicted_tags"]]
+    assert confs == sorted(confs, reverse=True)
+
+
+def test_format_results_values():
+    probs = np.array([0.9, 0.1, 0.6, 0.45])
+    out = _format_results(["a", "b", "c", "d"], probs, threshold=0.5)
+    assert [t["tag"] for t in out["predicted_tags"]] == ["a", "c"]
+    assert out["total_tags_above_threshold"] == 2
+    assert out["max_confidence"] == 0.9
+    # top5 mean with padding semantics: sum of top 4 / 5 (only 4 classes)
+    np.testing.assert_allclose(out["avg_confidence_top5"],
+                               round((0.9 + 0.6 + 0.45 + 0.1) / 5, 4))
+
+
+def test_latents_json_and_flatten_order(artifacts, tmp_path):
+    root, ds, vae_dir, bin_path = artifacts
+    engine = VAEOnlyEngine(
+        vae_checkpoint=f"{vae_dir}/diffusion_pytorch_model.safetensors",
+        vae_config_path=f"{vae_dir}/config.json")
+    data = infer_and_save_latents(engine, ds["images_dir"],
+                                  output_dir=str(tmp_path), resolution=64,
+                                  batch_size=4, verbose=False)
+    assert len(data) == 6
+    vec = next(iter(data.values()))
+    assert len(vec) == 16 * 8 * 8
+    # flatten order: channel-major (torch NCHW flatten)
+    z = np.arange(2 * 3 * 4).reshape(2, 3, 4).transpose(1, 2, 0)  # (3,4,2) hwc
+    flat = flatten_latent_torch_order(z)
+    np.testing.assert_array_equal(flat, np.arange(24))

@@ -1,0 +1,107 @@
+"""Checkpoint I/O tests: safetensors roundtrip, orbax train-state resume,
+cross-attention parity (the remaining head branch)."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import torch
+
+from vae_tagger_tpu.core.config import AttentionDecoderConfig, default_flux_vae_config
+from vae_tagger_tpu.io.safetensors_io import (
+    flax_params_from_torch_state,
+    load_vae_pretrained_dir,
+    save_vae_pretrained,
+)
+from vae_tagger_tpu.io.orbax_io import restore_train_state, save_train_state
+from vae_tagger_tpu.models.taggers import CrossAttention
+from vae_tagger_tpu.train.state import TrainState, build_optimizer
+
+from torch_oracle.taggers_torch import CrossAttentionOracle
+
+
+def test_vae_pretrained_dir_roundtrip(tmp_path):
+    cfg = default_flux_vae_config(block_out_channels=(8, 8, 8, 8),
+                                  norm_num_groups=4, latent_channels=4)
+    from vae_tagger_tpu.models.autoencoder_kl import AutoencoderKL
+
+    model = AutoencoderKL(cfg)
+    params = jax.jit(model.init)({"params": jax.random.key(0)},
+                                 jnp.zeros((1, 16, 16, 3)),
+                                 jax.random.key(1))["params"]
+    out = str(tmp_path / "vae")
+    save_vae_pretrained(params, cfg, out)
+    assert os.path.exists(os.path.join(out, "config.json"))
+    cfg2, params2 = load_vae_pretrained_dir(out)
+    assert cfg2 == cfg
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(a, b),
+                 params, params2)
+
+
+def test_orbax_train_state_resume(tmp_path):
+    params = {"w": jnp.arange(8, dtype=jnp.float32),
+              "nested": {"b": jnp.ones((2, 2))}}
+    tx = build_optimizer(optax.constant_schedule(1e-3), 1e-6, 1.0, 1)
+    state = TrainState.create(params, tx, batch_stats={"m": jnp.zeros(3)})
+
+    grads = jax.tree.map(jnp.ones_like, params)
+    state = state.apply_gradients(grads)
+    state = state.apply_gradients(grads)
+    assert int(state.step) == 2
+
+    path = str(tmp_path / "ckpt")
+    save_train_state(state, path)
+
+    fresh = TrainState.create(
+        jax.tree.map(jnp.zeros_like, params), tx,
+        batch_stats={"m": jnp.full((3,), -1.0)})
+    restored = restore_train_state(fresh, path)
+    assert int(restored.step) == 2
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(a, b),
+                 jax.device_get(state.params), jax.device_get(restored.params))
+    np.testing.assert_array_equal(np.asarray(restored.batch_stats["m"]),
+                                  np.asarray(state.batch_stats["m"]))
+    # optimizer momenta restored too: next step must match exactly
+    s1 = state.apply_gradients(grads)
+    s2 = restored.apply_gradients(grads)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=1e-7),
+        jax.device_get(s1.params), jax.device_get(s2.params))
+
+
+def test_cross_attention_parity():
+    torch.manual_seed(4)
+    oracle = CrossAttentionOracle(query_dim=512, key_dim=8,
+                                  embed_dim=256, num_heads=8).eval()
+    state = {k: v.detach().numpy() for k, v in oracle.state_dict().items()}
+    params = flax_params_from_torch_state(state)
+
+    rng = np.random.default_rng(4)
+    query = rng.normal(size=(2, 512)).astype(np.float32)
+    kv = rng.normal(size=(2, 64, 8)).astype(np.float32)
+    with torch.no_grad():
+        out_t = oracle(torch.from_numpy(query), torch.from_numpy(kv)).numpy()
+
+    model = CrossAttention(embed_dim=256, num_heads=8)
+    out_j = jax.jit(lambda p, q, kv: model.apply({"params": p}, q, kv))(
+        params, jnp.asarray(query), jnp.asarray(kv))
+    np.testing.assert_allclose(np.asarray(out_j), out_t, rtol=1e-4, atol=1e-5)
+
+
+def test_attention_decoder_with_cross_attention_runs():
+    """The full decoder with the cross-attention branch enabled."""
+    from vae_tagger_tpu.models.taggers import AttentionClassificationDecoder
+
+    model = AttentionClassificationDecoder(
+        latent_channels=16, num_classes=5,
+        attention=AttentionDecoderConfig(use_cross_attention=True))
+    z = jnp.zeros((2, 8, 8, 16))
+    variables = jax.jit(model.init, static_argnames=("deterministic",))(
+        {"params": jax.random.key(0)}, z, deterministic=True)
+    logits = jax.jit(
+        lambda v, z: model.apply(v, z, deterministic=True))(variables, z)
+    assert logits.shape == (2, 5)
+    assert "cross_attention" in variables["params"]
+    assert "query_generator" in variables["params"]

@@ -70,6 +70,34 @@ class MHSAOracle(nn.Module):
         return out.transpose(1, 2).view(b, c, h, w)
 
 
+class CrossAttentionOracle(nn.Module):
+    """1-query cross-attention with residual (modules.py:93-124 semantics)."""
+
+    def __init__(self, query_dim, key_dim, embed_dim, num_heads=8):
+        super().__init__()
+        self.embed_dim = embed_dim
+        self.num_heads = num_heads
+        self.head_dim = embed_dim // num_heads
+        self.q_proj = nn.Linear(query_dim, embed_dim)
+        self.k_proj = nn.Linear(key_dim, embed_dim)
+        self.v_proj = nn.Linear(key_dim, embed_dim)
+        self.out_proj = nn.Linear(embed_dim, query_dim)
+
+    def forward(self, query, key_value):
+        b = query.shape[0]
+
+        def heads(t, s):
+            return t.view(b, s, self.num_heads, self.head_dim).transpose(1, 2)
+
+        q = heads(self.q_proj(query).unsqueeze(1), 1)
+        k = heads(self.k_proj(key_value), key_value.shape[1])
+        v = heads(self.v_proj(key_value), key_value.shape[1])
+        scores = q @ k.transpose(-2, -1) / math.sqrt(self.head_dim)
+        out = (scores.softmax(dim=-1) @ v).transpose(1, 2).contiguous().view(
+            b, self.embed_dim)
+        return self.out_proj(out) + query
+
+
 class ClassificationDecoderOracle(nn.Module):
     def __init__(self, latent_channels, num_classes):
         super().__init__()

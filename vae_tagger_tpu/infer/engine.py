@@ -163,3 +163,12 @@ class TaggerEngine:
         latents, probs = self._encode_classify_fn(
             self.vae_params, self.decoder_variables, jnp.asarray(pixels_uint8))
         return np.asarray(latents), np.asarray(probs)
+
+    def get_confidence(self, pixels_uint8: np.ndarray):
+        """Descending (confidences, indices) per image — the reference's
+        ``decoder.get_confidence`` API (modules.py:470-475), but batched and
+        starting from pixels."""
+        probs = self.classify(pixels_uint8)
+        indices = np.argsort(-probs, axis=-1, kind="stable")
+        sorted_conf = np.take_along_axis(probs, indices, axis=-1)
+        return sorted_conf, indices

@@ -43,8 +43,7 @@ def restore_train_state(state, path: str):
     }
     if state.batch_stats is not None:
         template["batch_stats"] = state.batch_stats
-    restored = checkpointer.restore(
-        path, ocp.args.StandardRestore(jax.tree.map(lambda x: x, template)))
+    restored = checkpointer.restore(path, template)
     return state.replace(
         step=restored["step"],
         params=restored["params"],
