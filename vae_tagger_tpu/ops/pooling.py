@@ -42,20 +42,19 @@ def _adaptive_avg_pool_general(x, out_h: int, out_w: int):
 
 
 def adaptive_avg_pool_nhwc(x, output_size):
-    """Adaptive average pool to (oh, ow) over NHWC input."""
+    """Adaptive average pool to (oh, ow) over NHWC input.
+
+    Even-division case uses reshape+mean — fully differentiable (a generic
+    ``lax.reduce_window`` has no reverse-mode rule) and lowered by XLA to the
+    same reduce.
+    """
     oh, ow = (output_size, output_size) if isinstance(output_size, int) else output_size
     n, h, w, c = x.shape
     if h == oh and w == ow:
         return x
     if h % oh == 0 and w % ow == 0:
         kh, kw = h // oh, w // ow
-        return jax.lax.reduce_window(
-            x, 0.0 if x.dtype != jnp.bfloat16 else jnp.bfloat16(0),
-            jax.lax.add,
-            window_dimensions=(1, kh, kw, 1),
-            window_strides=(1, kh, kw, 1),
-            padding="VALID",
-        ) / (kh * kw)
+        return jnp.mean(x.reshape(n, oh, kh, ow, kw, c), axis=(2, 4))
     return _adaptive_avg_pool_general(x, oh, ow)
 
 
@@ -68,11 +67,5 @@ def adaptive_max_pool_nhwc(x, output_size):
         return jnp.max(x, axis=(1, 2), keepdims=True)
     if h % oh == 0 and w % ow == 0:
         kh, kw = h // oh, w // ow
-        neg_inf = jnp.asarray(-jnp.inf, x.dtype)
-        return jax.lax.reduce_window(
-            x, neg_inf, jax.lax.max,
-            window_dimensions=(1, kh, kw, 1),
-            window_strides=(1, kh, kw, 1),
-            padding="VALID",
-        )
+        return jnp.max(x.reshape(n, oh, kh, ow, kw, c), axis=(2, 4))
     raise NotImplementedError("uneven adaptive max pool not needed by any call site")
