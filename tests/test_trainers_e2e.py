@@ -1,0 +1,117 @@
+"""End-to-end trainer tests: the real CLI-level train functions on synthetic
+data with a tiny VAE (1 epoch, 32px) — exercises dataset, loaders, steps,
+checkpointing, threshold search, eval and artifact outputs in one pass."""
+
+import argparse
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vae_tagger_tpu.core.config import default_flux_vae_config
+from vae_tagger_tpu.io import save_vae_pretrained
+from vae_tagger_tpu.models.autoencoder_kl import AutoencoderKL
+from vae_tagger_tpu.utils import create_synthetic_dataset
+
+TINY = default_flux_vae_config(block_out_channels=(8, 16, 16, 16),
+                               norm_num_groups=4, latent_channels=16,
+                               sample_size=32)
+
+
+@pytest.fixture(scope="module")
+def workspace(tmp_path_factory):
+    root = tmp_path_factory.mktemp("train_e2e")
+    ds = create_synthetic_dataset(str(root / "test_dataset"), num_images=10,
+                                  img_size=32, seed=0)
+    model = AutoencoderKL(TINY)
+    params = jax.jit(model.init)({"params": jax.random.key(0)},
+                                 jnp.zeros((1, 32, 32, 3)),
+                                 jax.random.key(1))["params"]
+    vae_dir = str(root / "vae")
+    save_vae_pretrained(params, TINY, vae_dir)
+    return root, ds, vae_dir
+
+
+def _base_args(root, ds, vae_dir, out, **overrides):
+    args = argparse.Namespace(
+        vae_checkpoint=f"{vae_dir}/diffusion_pytorch_model.safetensors",
+        vae_config_path=f"{vae_dir}/config.json",
+        decoder_checkpoint=None,
+        json_path=ds["data_json"], tags_csv_path=ds["tags_csv"],
+        output_dir=str(root / out),
+        resolution=32, train_batch_size=2, num_epochs=1,
+        learning_rate=1e-3, weight_decay=1e-6,
+        use_attention=True, no_attention=False,
+        use_spatial_attention=True, use_self_attention=True,
+        use_cross_attention=False, attention_heads=8, attention_dropout=0.1,
+        use_focal_loss=True, use_class_balanced=False, focal_alpha=1.0,
+        focal_gamma=2.0, lr_scheduler_type="cosine", lr_warmup_steps=2,
+        max_grad_norm=1.0, logging_steps=100, save_steps=5,
+        mixed_precision="no", use_bucketing=False, base_resolution=32,
+        max_resolution=64, bucket_step=32, num_workers=1, prefetch_factor=1,
+        gradient_accumulation_steps=1, seed=0, resume_from=None,
+        # loss args for train_full/vae
+        reconstruction_weight=0.01, kl_weight=1e-7, triplet_weight=1.0,
+        bce_weight=1.0, triplet_margin=1.0, use_simplified_loss=True,
+        use_adaptive_weights=False, similarity_type="cosine",
+        use_simplified_vae_loss=True, remat=False,
+    )
+    for k, v in overrides.items():
+        setattr(args, k, v)
+    return args
+
+
+def test_train_decoder_e2e(workspace):
+    from vae_tagger_tpu.train.train_decoder import train_decoder
+
+    root, ds, vae_dir = workspace
+    args = _base_args(root, ds, vae_dir, "dec_out")
+    train_decoder(args)
+    out = root / "dec_out"
+    assert (out / "best_pytorch_model.bin").exists()
+    assert (out / "training_history.json").exists()
+    assert (out / "optimal_thresholds.json").exists()
+    assert (out / "evaluation_results.csv").exists()
+    hist = json.loads((out / "training_history.json").read_text())
+    assert len(hist["train_loss"]) == 1
+    # the exported decoder loads back through the torch path
+    from vae_tagger_tpu.io.torch_bin import load_decoder_params
+
+    params, stats = load_decoder_params(str(out / "best_pytorch_model.bin"))
+    assert "classifier_0" in params
+    assert stats  # BatchNorm running stats present
+
+
+def test_train_full_e2e_and_reinfer(workspace):
+    from vae_tagger_tpu.train.train_full import train_full
+    from vae_tagger_tpu.infer import TaggerEngine
+
+    root, ds, vae_dir = workspace
+    args = _base_args(root, ds, vae_dir, "full_out")
+    train_full(args)
+    out = root / "full_out"
+    assert (out / "best_vae" / "diffusion_pytorch_model.safetensors").exists()
+    assert (out / "best_decoder" / "pytorch_model.bin").exists()
+    # trained artifacts load straight into the inference engine
+    engine = TaggerEngine.load(
+        vae_checkpoint=str(out / "best_vae" /
+                           "diffusion_pytorch_model.safetensors"),
+        decoder_checkpoint=str(out / "best_decoder" / "pytorch_model.bin"),
+        tags_csv_path=ds["tags_csv"],
+        vae_config_path=str(out / "best_vae" / "config.json"))
+    probs = engine.classify(np.zeros((1, 32, 32, 3), dtype=np.uint8))
+    assert probs.shape == (1, ds["num_tags"])
+
+
+def test_train_vae_e2e(workspace):
+    from vae_tagger_tpu.train.train_vae import train_vae
+
+    root, ds, vae_dir = workspace
+    args = _base_args(root, ds, vae_dir, "vae_out")
+    train_vae(args)
+    out = root / "vae_out"
+    assert (out / "best_vae" / "diffusion_pytorch_model.safetensors").exists()
+    assert (out / "training_history.json").exists()

@@ -124,3 +124,24 @@ def test_param_structure_matches_diffusers_layout(tiny):
     # shortcut conv only where channels change (8 -> 16 at down block 1)
     assert "conv_shortcut" in enc["down_blocks_1"]["resnets_0"]
     assert "conv_shortcut" not in enc["down_blocks_1"]["resnets_1"]
+
+
+def test_remat_matches_and_differentiates():
+    """remat=True must produce identical outputs and gradients."""
+    model = AutoencoderKL(TINY)
+    model_r = AutoencoderKL(TINY, remat=True)
+    variables = _tiny_params()
+    x = jnp.ones((1, 32, 32, 3)) * 0.3
+
+    def loss(m):
+        def f(p):
+            post = m.apply({"params": p}, x, method=AutoencoderKL.encode)
+            return jnp.sum(post.mean ** 2)
+        return f
+
+    v1, g1 = jax.jit(jax.value_and_grad(loss(model)))(variables["params"])
+    v2, g2 = jax.jit(jax.value_and_grad(loss(model_r)))(variables["params"])
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-6)
+    # gradients agree up to fp reassociation noise from the recompute
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4), g1, g2)

@@ -82,6 +82,10 @@ def add_train_args(p: argparse.ArgumentParser, default_lr: float = 1e-4):
                    help="(compat) safetensors is always used for the VAE")
     p.add_argument("--use_quant_conv", action="store_true")
     p.add_argument("--use_post_quant_conv", action="store_true")
+    p.add_argument("--remat", action="store_true",
+                   help="gradient checkpointing on the VAE blocks (TPU "
+                   "extension): O(stage) activation memory for ~30% extra "
+                   "forward FLOPs — enables 1024px training at larger batch")
 
 
 def add_loss_args(p: argparse.ArgumentParser):

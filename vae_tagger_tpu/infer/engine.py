@@ -51,6 +51,7 @@ def load_vae_bundle(vae_checkpoint: Optional[str] = None,
                     policy: Policy = Policy(),
                     require_checkpoint: bool = False,
                     resolution: Optional[int] = None,
+                    remat: bool = False,
                     ) -> Tuple[AutoencoderKL, dict]:
     """Reference loading precedence (infer_full.py:16-26, train_full.py:40-53):
     config JSON if given, else the hardcoded FLUX config; weights from the
@@ -64,7 +65,7 @@ def load_vae_bundle(vae_checkpoint: Optional[str] = None,
             config = dataclasses.replace(config, sample_size=resolution)
 
     model = AutoencoderKL(config, dtype=policy.compute_dtype,
-                          param_dtype=policy.param_dtype)
+                          param_dtype=policy.param_dtype, remat=remat)
     if vae_checkpoint and os.path.exists(vae_checkpoint):
         print(f"loading pretrained VAE weights: {vae_checkpoint}")
         params = load_vae_params(vae_checkpoint)

@@ -73,17 +73,20 @@ class Encoder(nn.Module):
     config: VAEConfig
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x):
         cfg = self.config
         g = cfg.norm_num_groups
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        down_cls = nn.remat(DownEncoderBlock) if self.remat else DownEncoderBlock
+        mid_cls = nn.remat(MidBlock) if self.remat else MidBlock
         x = x.astype(self.dtype)
         x = _conv(cfg.block_out_channels[0], (3, 3), "conv_in",
                   self.dtype, self.param_dtype)(x)
         for i, out_ch in enumerate(cfg.block_out_channels):
-            x = DownEncoderBlock(
+            x = down_cls(
                 out_channels=out_ch,
                 num_layers=cfg.layers_per_block,
                 add_downsample=i < len(cfg.block_out_channels) - 1,
@@ -91,9 +94,9 @@ class Encoder(nn.Module):
                 name=f"down_blocks_{i}",
                 **kw,
             )(x)
-        x = MidBlock(cfg.block_out_channels[-1],
-                     add_attention=cfg.mid_block_add_attention,
-                     num_groups=g, name="mid_block", **kw)(x)
+        x = mid_cls(cfg.block_out_channels[-1],
+                    add_attention=cfg.mid_block_add_attention,
+                    num_groups=g, name="mid_block", **kw)(x)
         x = GroupNorm(g, with_silu=True, name="conv_norm_out",
                       param_dtype=self.param_dtype)(x)
         x = _conv(2 * cfg.latent_channels, (3, 3), "conv_out",
@@ -105,21 +108,24 @@ class Decoder(nn.Module):
     config: VAEConfig
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, z):
         cfg = self.config
         g = cfg.norm_num_groups
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        up_cls = nn.remat(UpDecoderBlock) if self.remat else UpDecoderBlock
+        mid_cls = nn.remat(MidBlock) if self.remat else MidBlock
         z = z.astype(self.dtype)
         reversed_channels = list(reversed(cfg.block_out_channels))
         x = _conv(reversed_channels[0], (3, 3), "conv_in",
                   self.dtype, self.param_dtype)(z)
-        x = MidBlock(reversed_channels[0],
-                     add_attention=cfg.mid_block_add_attention,
-                     num_groups=g, name="mid_block", **kw)(x)
+        x = mid_cls(reversed_channels[0],
+                    add_attention=cfg.mid_block_add_attention,
+                    num_groups=g, name="mid_block", **kw)(x)
         for i, out_ch in enumerate(reversed_channels):
-            x = UpDecoderBlock(
+            x = up_cls(
                 out_channels=out_ch,
                 num_layers=cfg.layers_per_block + 1,
                 add_upsample=i < len(reversed_channels) - 1,
@@ -142,9 +148,14 @@ class AutoencoderKL(nn.Module):
     config: VAEConfig
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
+    # rematerialize each block in the backward pass (gradient checkpointing):
+    # trades ~30% extra forward FLOPs for O(stage) activation memory — the
+    # TPU-native answer to the reference's CUDA fp16 memory pressure
+    remat: bool = False
 
     def setup(self):
-        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype,
+                  remat=self.remat)
         self.encoder = Encoder(self.config, name="encoder", **kw)
         self.decoder = Decoder(self.config, name="decoder", **kw)
 

@@ -244,6 +244,17 @@ class AttentionClassificationDecoder(nn.Module):
         return dense(self.num_classes, "classifier_12")(y)
 
 
+def get_attention_maps(decoder, variables, latents) -> dict:
+    """Attention-map extraction for visualization.
+
+    API-parity stub: the reference's method is also an empty stub
+    (``modules.py:477-485`` returns ``{}``).  Returns an empty dict; a real
+    implementation would capture the CBAM gates and MHSA weights via
+    ``nn.Module.sow``.
+    """
+    return {}
+
+
 def create_attention_decoder(latent_channels: int, num_classes: int,
                              attention_config: Optional[dict] = None,
                              dtype=jnp.float32, param_dtype=jnp.float32):

@@ -70,6 +70,19 @@ class EpochLoop:
         self.history = {"train_loss": [], "val_loss": [], "learning_rates": []}
         self.best_val_loss = float("inf")
 
+    def _prefetched(self, loader):
+        """Yield batches already device_put with the data sharding, one batch
+        ahead of the consumer, so the host->device transfer of batch N+1
+        overlaps the compute of batch N."""
+        prev = None
+        for batch in loader:
+            batch = shard_batch(batch, self.mesh)
+            if prev is not None:
+                yield prev
+            prev = batch
+        if prev is not None:
+            yield prev
+
     def run(self, state, lr_schedule=None):
         args = self.args
         global_step = 0
@@ -78,8 +91,7 @@ class EpochLoop:
             train_losses = []
             pending = []  # (step, metrics) — read one step late (no sync)
             images_seen = 0
-            for step, batch in enumerate(self.train_loader):
-                batch = shard_batch(batch, self.mesh)
+            for step, batch in enumerate(self._prefetched(self.train_loader)):
                 state, metrics = self.run_train_step(state, batch, global_step)
                 images_seen += int(np.asarray(batch["labels"]).shape[0])
                 pending.append((step, metrics))
@@ -92,8 +104,7 @@ class EpochLoop:
                             global_step)
 
             val_losses = []
-            for batch in self.val_loader:
-                batch = shard_batch(batch, self.mesh)
+            for batch in self._prefetched(self.val_loader):
                 metrics = self.run_eval_step(state, batch, global_step)
                 val_losses.append(float(jax.device_get(metrics["loss"])))
 

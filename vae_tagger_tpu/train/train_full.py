@@ -39,7 +39,8 @@ def train_full(args):
 
     vae, vae_params = load_vae_bundle(
         args.vae_checkpoint, args.vae_config_path, policy=policy,
-        require_checkpoint=False, resolution=args.resolution)
+        require_checkpoint=False, resolution=args.resolution,
+        remat=getattr(args, "remat", False))
     print(f"VAE latent info: "
           f"{get_vae_latent_info(args.resolution, vae.config.latent_channels)}")
 

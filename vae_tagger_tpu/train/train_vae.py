@@ -30,7 +30,8 @@ def train_vae(args):
 
     vae, vae_params = load_vae_bundle(
         args.vae_checkpoint, args.vae_config_path, policy=policy,
-        require_checkpoint=False, resolution=args.resolution)
+        require_checkpoint=False, resolution=args.resolution,
+        remat=getattr(args, "remat", False))
 
     dataset, train_loader, val_loader = build_dataset_and_loaders(
         args, return_triplets=True)
