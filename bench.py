@@ -17,10 +17,12 @@ returns early on this backend).  That is the number a production host (no
 relay) sustains; the relay-bound figure is also computed and reported inside
 the metric string for transparency.
 
-vs_baseline: ratio against the same models on CPU fp32 single-image
-(0.0260 images/sec @1024px on this host — measured at 256px, scaled by the
-16x pixel/FLOP ratio; the PyTorch reference itself cannot run here because
-diffusers is not installed).  The driver-set north star is >=5x CPU.
+vs_baseline: ratio against a reference-equivalent PyTorch fp32 CPU stack
+(tests/torch_oracle VAE + attention head, single image): 0.0226 images/sec
+@1024px on this host — measured at 256px (2.76 s/image), scaled by the 16x
+pixel/FLOP ratio.  (The PyTorch reference itself cannot run here: diffusers
+is not installed.  Our JAX CPU path measures 0.0260 img/s — same ballpark.)
+The driver-set north star is >=5x CPU.
 """
 
 from __future__ import annotations
@@ -35,7 +37,7 @@ import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
-CPU_BASELINE_IPS = 0.0260  # images/sec @1024px fp32 on this host (see above)
+CPU_BASELINE_IPS = 0.0226  # torch fp32 CPU images/sec @1024px (see above)
 RESOLUTION = 1024
 BATCH = 8
 NUM_CLASSES = 1000

@@ -219,3 +219,29 @@ def test_data_parallel_sharded_step():
         lambda a, b: np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=0, atol=2.5 * lr),
         jax.device_get(state1.params), jax.device_get(state8.params))
+
+
+def test_checkpoint_encode_matches():
+    """checkpoint_encode=True must give the same loss and (up to fp noise)
+    gradients as the 3B-concat path."""
+    vae, decoder, vae_params, dec_vars = _models()
+    cfg = LossConfig(use_focal_loss=True)
+    tx = build_optimizer(optax.constant_schedule(1e-4), 0.0, 0.0, 1)
+    batch = _batch()
+
+    results = []
+    for ck in (False, True):
+        params = {"vae": _fresh(vae_params),
+                  "decoder": _fresh(dec_vars["params"])}
+        state = TrainState.create(params, tx,
+                                  batch_stats=_fresh(dec_vars.get("batch_stats")))
+        train_step, _ = make_full_steps(vae, decoder, cfg,
+                                        use_simplified=True,
+                                        checkpoint_encode=ck)
+        state, metrics = train_step(state, batch, jax.random.key(0))
+        results.append((float(metrics["loss"]),
+                        jax.device_get(state.params)))
+    np.testing.assert_allclose(results[0][0], results[1][0], rtol=1e-5)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=1e-3, atol=2e-4),
+        results[0][1], results[1][1])

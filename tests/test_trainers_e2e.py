@@ -115,3 +115,32 @@ def test_train_vae_e2e(workspace):
     out = root / "vae_out"
     assert (out / "best_vae" / "diffusion_pytorch_model.safetensors").exists()
     assert (out / "training_history.json").exists()
+
+
+def test_train_decoder_bucket_mode(workspace):
+    """Bucket-mode training: per-bucket static shapes end to end."""
+    from vae_tagger_tpu.train.train_decoder import train_decoder
+
+    root, ds, vae_dir = workspace
+    args = _base_args(root, ds, vae_dir, "dec_bucket_out",
+                      use_bucketing=True, base_resolution=32,
+                      max_resolution=64, bucket_step=32)
+    train_decoder(args)
+    assert (root / "dec_bucket_out" / "best_pytorch_model.bin").exists()
+
+
+def test_train_decoder_resume(workspace):
+    """--resume_from restores step count and optimizer state."""
+    from vae_tagger_tpu.train.train_decoder import train_decoder
+
+    root, ds, vae_dir = workspace
+    args = _base_args(root, ds, vae_dir, "dec_resume_out")
+    state = train_decoder(args)
+    first_steps = int(jax.device_get(state.step))
+    assert first_steps > 0
+    args2 = _base_args(root, ds, vae_dir, "dec_resume_out2",
+                       resume_from=str(root / "dec_resume_out" /
+                                       "best_checkpoint"))
+    state2 = train_decoder(args2)
+    # resumed from the saved step, then trained one more epoch
+    assert int(jax.device_get(state2.step)) > first_steps

@@ -82,6 +82,9 @@ def add_train_args(p: argparse.ArgumentParser, default_lr: float = 1e-4):
                    help="(compat) safetensors is always used for the VAE")
     p.add_argument("--use_quant_conv", action="store_true")
     p.add_argument("--use_post_quant_conv", action="store_true")
+    p.add_argument("--profile_steps", type=int, default=0,
+                   help="capture a jax.profiler trace of N steady-state "
+                   "steps to <output_dir>/profile (TPU extension)")
     p.add_argument("--remat", action="store_true",
                    help="gradient checkpointing on the VAE blocks (TPU "
                    "extension): O(stage) activation memory for ~30% extra "

@@ -80,13 +80,12 @@ class Encoder(nn.Module):
         cfg = self.config
         g = cfg.norm_num_groups
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
-        down_cls = nn.remat(DownEncoderBlock) if self.remat else DownEncoderBlock
-        mid_cls = nn.remat(MidBlock) if self.remat else MidBlock
+        kw["remat"] = self.remat
         x = x.astype(self.dtype)
         x = _conv(cfg.block_out_channels[0], (3, 3), "conv_in",
                   self.dtype, self.param_dtype)(x)
         for i, out_ch in enumerate(cfg.block_out_channels):
-            x = down_cls(
+            x = DownEncoderBlock(
                 out_channels=out_ch,
                 num_layers=cfg.layers_per_block,
                 add_downsample=i < len(cfg.block_out_channels) - 1,
@@ -94,9 +93,9 @@ class Encoder(nn.Module):
                 name=f"down_blocks_{i}",
                 **kw,
             )(x)
-        x = mid_cls(cfg.block_out_channels[-1],
-                    add_attention=cfg.mid_block_add_attention,
-                    num_groups=g, name="mid_block", **kw)(x)
+        x = MidBlock(cfg.block_out_channels[-1],
+                     add_attention=cfg.mid_block_add_attention,
+                     num_groups=g, name="mid_block", **kw)(x)
         x = GroupNorm(g, with_silu=True, name="conv_norm_out",
                       param_dtype=self.param_dtype)(x)
         x = _conv(2 * cfg.latent_channels, (3, 3), "conv_out",
@@ -115,17 +114,16 @@ class Decoder(nn.Module):
         cfg = self.config
         g = cfg.norm_num_groups
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
-        up_cls = nn.remat(UpDecoderBlock) if self.remat else UpDecoderBlock
-        mid_cls = nn.remat(MidBlock) if self.remat else MidBlock
+        kw["remat"] = self.remat
         z = z.astype(self.dtype)
         reversed_channels = list(reversed(cfg.block_out_channels))
         x = _conv(reversed_channels[0], (3, 3), "conv_in",
                   self.dtype, self.param_dtype)(z)
-        x = mid_cls(reversed_channels[0],
-                    add_attention=cfg.mid_block_add_attention,
-                    num_groups=g, name="mid_block", **kw)(x)
+        x = MidBlock(reversed_channels[0],
+                     add_attention=cfg.mid_block_add_attention,
+                     num_groups=g, name="mid_block", **kw)(x)
         for i, out_ch in enumerate(reversed_channels):
-            x = up_cls(
+            x = UpDecoderBlock(
                 out_channels=out_ch,
                 num_layers=cfg.layers_per_block + 1,
                 add_upsample=i < len(reversed_channels) - 1,

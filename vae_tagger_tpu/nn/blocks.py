@@ -159,16 +159,19 @@ class MidBlock(nn.Module):
     num_groups: int = 32
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x):
+        res_cls = nn.remat(ResnetBlock) if self.remat else ResnetBlock
+        attn_cls = nn.remat(VAEAttention) if self.remat else VAEAttention
         kw = dict(num_groups=self.num_groups, dtype=self.dtype,
                   param_dtype=self.param_dtype)
-        x = ResnetBlock(self.channels, name="resnets_0", **kw)(x)
+        x = res_cls(self.channels, name="resnets_0", **kw)(x)
         if self.add_attention:
-            x = VAEAttention(num_groups=self.num_groups, dtype=self.dtype,
-                             param_dtype=self.param_dtype, name="attentions_0")(x)
-        x = ResnetBlock(self.channels, name="resnets_1", **kw)(x)
+            x = attn_cls(num_groups=self.num_groups, dtype=self.dtype,
+                         param_dtype=self.param_dtype, name="attentions_0")(x)
+        x = res_cls(self.channels, name="resnets_1", **kw)(x)
         return x
 
 
@@ -181,13 +184,15 @@ class DownEncoderBlock(nn.Module):
     num_groups: int = 32
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x):
+        res_cls = nn.remat(ResnetBlock) if self.remat else ResnetBlock
         for i in range(self.num_layers):
-            x = ResnetBlock(self.out_channels, num_groups=self.num_groups,
-                            dtype=self.dtype, param_dtype=self.param_dtype,
-                            name=f"resnets_{i}")(x)
+            x = res_cls(self.out_channels, num_groups=self.num_groups,
+                        dtype=self.dtype, param_dtype=self.param_dtype,
+                        name=f"resnets_{i}")(x)
         if self.add_downsample:
             x = Downsample(self.out_channels, dtype=self.dtype,
                            param_dtype=self.param_dtype, name="downsamplers_0")(x)
@@ -203,13 +208,15 @@ class UpDecoderBlock(nn.Module):
     num_groups: int = 32
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x):
+        res_cls = nn.remat(ResnetBlock) if self.remat else ResnetBlock
         for i in range(self.num_layers):
-            x = ResnetBlock(self.out_channels, num_groups=self.num_groups,
-                            dtype=self.dtype, param_dtype=self.param_dtype,
-                            name=f"resnets_{i}")(x)
+            x = res_cls(self.out_channels, num_groups=self.num_groups,
+                        dtype=self.dtype, param_dtype=self.param_dtype,
+                        name=f"resnets_{i}")(x)
         if self.add_upsample:
             x = Upsample(self.out_channels, dtype=self.dtype,
                          param_dtype=self.param_dtype, name="upsamplers_0")(x)

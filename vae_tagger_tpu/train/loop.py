@@ -86,13 +86,30 @@ class EpochLoop:
     def run(self, state, lr_schedule=None):
         args = self.args
         global_step = 0
+        # optional jax.profiler capture of early steady-state steps
+        # (--profile_steps N; trace lands in <output_dir>/profile, viewable
+        # in TensorBoard/Perfetto — the reference has no profiling at all,
+        # SURVEY.md §5)
+        profile_steps = getattr(args, "profile_steps", 0) or 0
+        profile_range = (2, 2 + profile_steps) if profile_steps else None
         for epoch in range(args.num_epochs):
             epoch_t0 = time.perf_counter()
             train_losses = []
             pending = []  # (step, metrics) — read one step late (no sync)
             images_seen = 0
             for step, batch in enumerate(self._prefetched(self.train_loader)):
+                if profile_range and global_step == profile_range[0]:
+                    jax.profiler.start_trace(
+                        os.path.join(args.output_dir, "profile"))
                 state, metrics = self.run_train_step(state, batch, global_step)
+                if profile_range and global_step == profile_range[1]:
+                    jax.tree.map(
+                        lambda x: jax.device_get(x) if hasattr(x, "shape")
+                        else x, metrics)
+                    jax.profiler.stop_trace()
+                    profile_range = None
+                    print(f"profiler trace written to "
+                          f"{args.output_dir}/profile")
                 images_seen += int(np.asarray(batch["labels"]).shape[0])
                 pending.append((step, metrics))
                 if len(pending) > 1:

@@ -102,7 +102,8 @@ def train_full(args):
     train_step, eval_step = make_full_steps(
         vae, decoder, cfg, use_simplified=args.use_simplified_loss,
         adaptive_module=adaptive_module, cb_weights=cb_weights,
-        compute_dtype=policy.compute_dtype)
+        compute_dtype=policy.compute_dtype,
+        checkpoint_encode=getattr(args, "remat", False))
     base_rng = jax.random.key(args.seed or 0)
 
     def run_train(state, batch, global_step):

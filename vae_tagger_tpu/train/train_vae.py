@@ -58,7 +58,8 @@ def train_vae(args):
 
     train_step, eval_step = make_vae_steps(
         vae, cfg, use_simplified=args.use_simplified_vae_loss,
-        compute_dtype=policy.compute_dtype)
+        compute_dtype=policy.compute_dtype,
+        checkpoint_encode=getattr(args, "remat", False))
     base_rng = jax.random.key(args.seed or 0)
 
     def run_train(state, batch, global_step):
