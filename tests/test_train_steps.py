@@ -245,3 +245,28 @@ def test_checkpoint_encode_matches():
     jax.tree.map(lambda a, b: np.testing.assert_allclose(
         np.asarray(a), np.asarray(b), rtol=1e-3, atol=2e-4),
         results[0][1], results[1][1])
+
+
+def test_training_determinism():
+    """Same seed + same data -> identical loss sequence (replaces the
+    reference's cudnn_deterministic story: jit compilation is deterministic
+    and all randomness flows through explicit keys)."""
+    vae, decoder, vae_params, dec_vars = _models()
+    cfg = LossConfig(use_focal_loss=True)
+    batch = _batch()
+
+    def run():
+        tx = build_optimizer(optax.constant_schedule(1e-3), 1e-6, 1.0, 1)
+        params = {"vae": _fresh(vae_params),
+                  "decoder": _fresh(dec_vars["params"])}
+        state = TrainState.create(params, tx,
+                                  batch_stats=_fresh(dec_vars.get("batch_stats")))
+        train_step, _ = make_full_steps(vae, decoder, cfg,
+                                        use_simplified=True)
+        losses = []
+        for i in range(3):
+            state, metrics = train_step(state, batch, jax.random.key(i))
+            losses.append(float(metrics["loss"]))
+        return losses
+
+    np.testing.assert_array_equal(run(), run())

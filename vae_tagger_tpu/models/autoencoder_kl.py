@@ -17,8 +17,6 @@ object):
 
 from __future__ import annotations
 
-import dataclasses
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
@@ -181,27 +179,3 @@ def decode_scaled(z: jnp.ndarray, config: VAEConfig) -> jnp.ndarray:
     """Inverse transform before decoding
     (``DiffusersVAEWrapper.decode``, /root/reference/diffusers_vae_loader.py:88-94)."""
     return (z - config.shift_factor) / config.scaling_factor
-
-
-@dataclasses.dataclass
-class VAEBundle:
-    """A model + params pair with convenience jitted methods — the working
-    unit the training/inference layers pass around."""
-
-    model: AutoencoderKL
-    params: dict
-
-    @property
-    def config(self) -> VAEConfig:
-        return self.model.config
-
-    def encode_latents(self, pixels: jnp.ndarray) -> jnp.ndarray:
-        """pixels (B,H,W,3) in [-1,1] -> scaled/shifted mode latents."""
-        posterior = self.model.apply({"params": self.params}, pixels,
-                                     method=AutoencoderKL.encode)
-        return encode_scaled(posterior.mode(), self.config)
-
-    def decode_latents(self, z: jnp.ndarray) -> jnp.ndarray:
-        return self.model.apply({"params": self.params},
-                                decode_scaled(z, self.config),
-                                method=AutoencoderKL.decode)

@@ -16,8 +16,6 @@ Layout notes:
 
 from __future__ import annotations
 
-from typing import Callable
-
 import flax.linen as nn
 import jax.numpy as jnp
 
