@@ -8,14 +8,14 @@ on device, Pallas flash attention in the 16,384-token mid block.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Measurement method: this dev harness reaches the chip through a relay with
-~100ms of *per-dispatch* latency that strictly serializes calls (measured:
-262 ms/batch dispatched one-by-one vs 29 ms/batch sustained), so the steady
-state is measured by chaining REPS forward steps inside one jitted
-lax.fori_loop and syncing once with jax.device_get (block_until_ready
-returns early on this backend).  That is the number a production host (no
-relay) sustains; the relay-bound figure is also computed and reported inside
-the metric string for transparency.
+Measurement method: REPS forward steps chained inside one jitted
+lax.fori_loop, each step indexing a DIFFERENT batch from a stacked buffer
+(a loop-invariant batch lets XLA hoist the entire forward out of the loop
+and fabricates ~10x throughput), synced once with jax.device_get
+(block_until_ready returns early on this tunneled backend).  Sanity anchor:
+the model is ~4.7 TFLOP/image, so N img/s implies N*4.7/394 of v5e bf16
+peak — the reported figure corresponds to ~36% MXU utilization, which is
+physically plausible; per-dispatch timing agrees within noise.
 
 vs_baseline: ratio against a reference-equivalent PyTorch fp32 CPU stack
 (tests/torch_oracle VAE + attention head, single image): 0.0226 images/sec
@@ -76,36 +76,25 @@ def main():
         return jax.nn.sigmoid(logits.astype(jnp.float32))
 
     @jax.jit
-    def chained(vp, dv, px):
+    def chained(vp, dv, buf):
         def body(i, acc):
+            px = jax.lax.dynamic_index_in_dim(buf, i, axis=0, keepdims=False)
             return acc + jnp.sum(forward(vp, dv, px))
         return jax.lax.fori_loop(0, REPS, body, jnp.float32(0))
 
-    single = jax.jit(forward)
+    buf = jnp.asarray(np.random.default_rng(0).integers(
+        0, 256, size=(REPS, BATCH, RESOLUTION, RESOLUTION, 3),
+        dtype=np.uint8))
 
-    px = jnp.asarray(np.random.default_rng(0).integers(
-        0, 256, size=(BATCH, RESOLUTION, RESOLUTION, 3), dtype=np.uint8))
-
-    # warm both programs
-    jax.device_get(chained(vae_params, dec_vars, px))
-    jax.device_get(single(vae_params, dec_vars, px))
-
-    # sustained on-chip throughput
+    jax.device_get(chained(vae_params, dec_vars, buf))  # warm
     t0 = time.perf_counter()
-    jax.device_get(chained(vae_params, dec_vars, px))
+    jax.device_get(chained(vae_params, dec_vars, buf))
     sustained_dt = (time.perf_counter() - t0) / REPS
     sustained_ips = BATCH / sustained_dt
 
-    # relay-bound per-dispatch figure (harness overhead included)
-    t0 = time.perf_counter()
-    for _ in range(5):
-        jax.device_get(single(vae_params, dec_vars, px))
-    dispatch_ips = BATCH / ((time.perf_counter() - t0) / 5)
-
     print(json.dumps({
         "metric": ("images/sec/chip VAE encode+tag @1024px bf16 batch8, "
-                   "sustained on-chip (fori_loop x10, device_get-synced); "
-                   f"per-dispatch-through-relay figure: {dispatch_ips:.1f}"),
+                   "sustained (10 distinct batches chained in one program)"),
         "value": round(sustained_ips, 1),
         "unit": "images/sec/chip",
         "vs_baseline": round(sustained_ips / CPU_BASELINE_IPS, 1),
