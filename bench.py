@@ -13,9 +13,9 @@ lax.fori_loop, each step indexing a DIFFERENT batch from a stacked buffer
 (a loop-invariant batch lets XLA hoist the entire forward out of the loop
 and fabricates ~10x throughput), synced once with jax.device_get
 (block_until_ready returns early on this tunneled backend).  Sanity anchor:
-the model is ~4.7 TFLOP/image, so N img/s implies N*4.7/394 of v5e bf16
-peak — the reported figure corresponds to ~36% MXU utilization, which is
-physically plausible; per-dispatch timing agrees within noise.
+XLA cost analysis reports 4.88 TFLOP/image for this program, so N img/s
+implies N*4.88/197 of v5e bf16 peak — the reported figure corresponds to
+~75% MXU utilization; per-dispatch timing agrees within noise.
 
 vs_baseline: ratio against a reference-equivalent PyTorch fp32 CPU stack
 (tests/torch_oracle VAE + attention head, single image): 0.0226 images/sec
