@@ -1,0 +1,213 @@
+#!/usr/bin/env python
+"""Benchmark suite for the five BASELINE.json configs (BASELINE.md).
+
+Unlike bench.py (the driver's single headline line), this measures every
+reference workload shape and writes benchmarks/report.json:
+
+  1. infer_full single 512px image      — per-request latency, batch 1
+  2. infer_vae latent extraction        — 512px, batch 8, encode-only
+  3. bucketed batch tagging             — mixed bucket shapes 512..1024
+  4. train_decoder step                 — frozen VAE, 512px, batch 4
+  5. train_full step                    — 1024px, batch 1, --remat
+     (skipped unless --full: ~4 min compile through this harness's relay)
+
+Methodology: throughput numbers chain REPS distinct batches inside one
+jitted fori_loop (see bench.py for why); latency numbers are per-dispatch
+with device_get sync.  Run on the real TPU: plain `python benchmarks/run_all.py`.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+RNG = np.random.default_rng(0)
+
+
+def _sustained(forward, make_batch, reps=8):
+    buf = jnp.asarray(np.stack([make_batch() for _ in range(reps)]))
+
+    @jax.jit
+    def chained(buf):
+        def body(i, acc):
+            px = jax.lax.dynamic_index_in_dim(buf, i, axis=0, keepdims=False)
+            return acc + jnp.sum(forward(px))
+        return jax.lax.fori_loop(0, reps, body, jnp.float32(0))
+
+    jax.device_get(chained(buf))
+    t0 = time.perf_counter()
+    jax.device_get(chained(buf))
+    return (time.perf_counter() - t0) / reps
+
+
+def _models(policy, num_classes=1000):
+    from vae_tagger_tpu.core.config import default_flux_vae_config
+    from vae_tagger_tpu.infer.engine import build_decoder
+    from vae_tagger_tpu.models.autoencoder_kl import AutoencoderKL
+
+    cfg = default_flux_vae_config()
+    vae = AutoencoderKL(cfg, dtype=policy.compute_dtype)
+    decoder = build_decoder(num_classes, use_attention=True,
+                            latent_channels=16, policy=policy)
+    vp = jax.jit(vae.init)({"params": jax.random.key(0)},
+                           jnp.zeros((1, 256, 256, 3)),
+                           jax.random.key(1))["params"]
+    dv = jax.jit(decoder.init, static_argnames=("deterministic",))(
+        {"params": jax.random.key(2)}, jnp.zeros((1, 32, 32, 16)),
+        deterministic=True)
+    return cfg, vae, decoder, vp, dv
+
+
+def _encode_tag_fn(cfg, vae, decoder, vp, dv, dtype):
+    from vae_tagger_tpu.models.autoencoder_kl import AutoencoderKL, encode_scaled
+    from vae_tagger_tpu.ops.image import normalize_uint8
+
+    def forward(px):
+        x = normalize_uint8(px, dtype)
+        post = vae.apply({"params": vp}, x, method=AutoencoderKL.encode)
+        lat = encode_scaled(post.mode(), cfg)
+        logits = decoder.apply(dv, lat.astype(dtype), deterministic=True)
+        return jax.nn.sigmoid(logits.astype(jnp.float32))
+
+    return forward
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--full", action="store_true",
+                        help="include the 1024px train_full config "
+                        "(long compile)")
+    args = parser.parse_args()
+
+    from vae_tagger_tpu.core.precision import BF16
+    from vae_tagger_tpu.models.autoencoder_kl import AutoencoderKL, encode_scaled
+    from vae_tagger_tpu.ops.image import normalize_uint8
+
+    results = {}
+    cfg, vae, decoder, vp, dv = _models(BF16)
+    forward = _encode_tag_fn(cfg, vae, decoder, vp, dv, jnp.bfloat16)
+
+    # 1. single-image 512px latency (batch 1, per-dispatch)
+    single = jax.jit(forward)
+    px1 = jnp.asarray(RNG.integers(0, 256, (1, 512, 512, 3), dtype=np.uint8))
+    jax.device_get(single(px1))
+    t0 = time.perf_counter()
+    for _ in range(10):
+        jax.device_get(single(px1))
+    lat_ms = (time.perf_counter() - t0) / 10 * 1000
+    results["infer_full_single_512px"] = {
+        "latency_ms": round(lat_ms, 1),
+        "images_per_sec": round(1000 / lat_ms, 2)}
+    print("1.", results["infer_full_single_512px"])
+
+    # 2. latent extraction 512px batch 8 (encode only)
+    def encode_only(px):
+        x = normalize_uint8(px, jnp.bfloat16)
+        post = vae.apply({"params": vp}, x, method=AutoencoderKL.encode)
+        return jnp.sum(encode_scaled(post.mode(), cfg))
+
+    dt = _sustained(encode_only,
+                    lambda: RNG.integers(0, 256, (8, 512, 512, 3),
+                                         dtype=np.uint8))
+    results["infer_vae_512px_batch8"] = {
+        "ms_per_batch": round(dt * 1000, 1),
+        "images_per_sec": round(8 / dt, 1)}
+    print("2.", results["infer_vae_512px_batch8"])
+
+    # 3. bucketed batch tagging: representative bucket shapes
+    bucket_results = {}
+    total_imgs, total_time = 0, 0.0
+    for (w, h, bs) in [(512, 512, 8), (768, 576, 4), (1024, 1024, 4)]:
+        dt = _sustained(forward,
+                        lambda: RNG.integers(0, 256, (bs, h, w, 3),
+                                             dtype=np.uint8), reps=4)
+        bucket_results[f"{w}x{h}"] = {
+            "ms_per_batch": round(dt * 1000, 1),
+            "images_per_sec": round(bs / dt, 1)}
+        total_imgs += bs
+        total_time += dt
+    bucket_results["mixed_images_per_sec"] = round(total_imgs / total_time, 1)
+    results["bucketed_tagging"] = bucket_results
+    print("3.", bucket_results)
+
+    # 4. train_decoder step: frozen VAE, 512px, batch 4, focal+class-balanced
+    import optax
+
+    from vae_tagger_tpu.losses.classification import class_balanced_weights
+    from vae_tagger_tpu.losses.combined import LossConfig
+    from vae_tagger_tpu.train.state import TrainState, build_optimizer
+    from vae_tagger_tpu.train.steps import make_decoder_steps
+
+    cb = class_balanced_weights(RNG.integers(1, 100, 1000))
+    lcfg = LossConfig(use_focal_loss=True, use_class_balanced=True)
+    tx = build_optimizer(optax.constant_schedule(1e-3), 1e-6, 1.0, 1)
+    state = TrainState.create(dv["params"], tx,
+                              batch_stats=dv.get("batch_stats"))
+    train_step, _ = make_decoder_steps(vae, decoder, lcfg, cb,
+                                       compute_dtype=jnp.bfloat16)
+    batch = {
+        "pixel_values": jnp.asarray(
+            RNG.integers(0, 256, (4, 512, 512, 3), dtype=np.uint8)),
+        "labels": jnp.asarray(
+            (RNG.random((4, 1000)) > 0.95).astype(np.float32)),
+    }
+    state, m = train_step(state, vp, batch, jax.random.key(0))
+    jax.device_get(m["loss"])
+    t0 = time.perf_counter()
+    for i in range(5):
+        state, m = train_step(state, vp, batch, jax.random.key(i))
+        jax.device_get(m["loss"])
+    dt = (time.perf_counter() - t0) / 5
+    results["train_decoder_512px_batch4"] = {
+        "ms_per_step": round(dt * 1000, 1),
+        "images_per_sec": round(4 / dt, 1)}
+    print("4.", results["train_decoder_512px_batch4"])
+
+    # 5. train_full 1024px batch1 with remat (opt-in: long compile)
+    if args.full:
+        from vae_tagger_tpu.core.config import default_flux_vae_config
+        from vae_tagger_tpu.train.steps import make_full_steps
+
+        vae_r = AutoencoderKL(default_flux_vae_config(),
+                              dtype=jnp.bfloat16, remat=True)
+        params = {"vae": vp, "decoder": dv["params"]}
+        state = TrainState.create(params, tx,
+                                  batch_stats=dv.get("batch_stats"))
+        full_step, _ = make_full_steps(
+            vae_r, decoder, LossConfig(use_focal_loss=True),
+            use_simplified=True, compute_dtype=jnp.bfloat16,
+            checkpoint_encode=True)
+        fb = {k: jnp.asarray(RNG.integers(0, 256, (1, 1024, 1024, 3),
+                                          dtype=np.uint8))
+              for k in ("anchor", "positive", "negative")}
+        fb["labels"] = jnp.asarray(
+            (RNG.random((1, 1000)) > 0.95).astype(np.float32))
+        fb["positive_labels"] = fb["labels"]
+        state, m = full_step(state, fb, jax.random.key(0))
+        jax.device_get(m["loss"])
+        t0 = time.perf_counter()
+        for i in range(3):
+            state, m = full_step(state, fb, jax.random.key(i))
+            jax.device_get(m["loss"])
+        dt = (time.perf_counter() - t0) / 3
+        results["train_full_1024px_batch1_remat"] = {
+            "ms_per_step": round(dt * 1000, 1)}
+        print("5.", results["train_full_1024px_batch1_remat"])
+
+    out = os.path.join(os.path.dirname(__file__), "report.json")
+    with open(out, "w") as f:
+        json.dump(results, f, indent=2)
+    print(f"report written to {out}")
+
+
+if __name__ == "__main__":
+    main()

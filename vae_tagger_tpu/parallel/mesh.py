@@ -42,9 +42,20 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: dict, mesh: Mesh, axis: str = "data") -> dict:
-    """Device-put every array in the batch with its batch axis sharded."""
+    """Place a batch on the mesh with its leading axis sharded.
+
+    Single-host: a plain device_put of the global batch.  Multi-host: each
+    process passes its *local* slice of the global batch (the loader already
+    restricts each process to its own data shard, loop.py) and
+    ``make_array_from_process_local_data`` assembles the logically-global
+    array without any cross-host copy.
+    """
     sharding = batch_sharding(mesh, axis)
-    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+    if jax.process_count() == 1:
+        return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(
+            sharding, np.asarray(x)), batch)
 
 
 def replicate(tree, mesh: Mesh):

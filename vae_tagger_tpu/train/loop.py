@@ -36,18 +36,31 @@ def build_dataset_and_loaders(args, return_triplets: bool):
         seed=args.seed,
     )
     train_idx, val_idx = train_val_split(len(dataset), 0.1, seed=args.seed or 42)
-    n_dev = len(jax.devices())
-    global_batch = args.train_batch_size * n_dev
-    train_loader = DataLoader(dataset, global_batch, shuffle=True,
+    # Each process loads only the slice of the global batch that lands on
+    # its local devices (shard_batch assembles the global array); on a
+    # single host this is simply batch * n_devices.
+    local_batch = args.train_batch_size * jax.local_device_count()
+    global_batch = args.train_batch_size * jax.device_count()
+    if jax.process_count() > 1:
+        # strided shard per process, trimmed to equal length so every
+        # process yields the same number of (fixed-shape) batches — unequal
+        # counts would deadlock the SPMD collectives
+        n_proc = jax.process_count()
+        shard_len = len(train_idx) // n_proc
+        train_idx = train_idx[jax.process_index()::n_proc][:shard_len]
+        val_shard = max(1, len(val_idx) // n_proc)
+        val_idx = val_idx[jax.process_index()::n_proc][:val_shard]
+    train_loader = DataLoader(dataset, local_batch, shuffle=True,
                               num_workers=args.num_workers,
                               prefetch_factor=args.prefetch_factor,
                               seed=args.seed, indices=train_idx)
-    val_loader = DataLoader(dataset, global_batch, shuffle=False,
+    val_loader = DataLoader(dataset, local_batch, shuffle=False,
                             num_workers=max(1, args.num_workers // 2),
                             prefetch_factor=args.prefetch_factor,
                             seed=args.seed, indices=val_idx)
     print(f"train size: {len(train_idx)}, val size: {len(val_idx)}, "
-          f"global batch: {global_batch} ({n_dev} devices)")
+          f"global batch: {global_batch} "
+          f"({jax.device_count()} devices, {jax.process_count()} processes)")
     return dataset, train_loader, val_loader
 
 
