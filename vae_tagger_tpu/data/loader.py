@@ -82,25 +82,49 @@ def _collate(items: List[dict], mask: List[bool]) -> Dict[str, np.ndarray]:
 
 
 class DataLoader:
-    """Threaded prefetching loader yielding collated numpy batches."""
+    """Threaded prefetching loader yielding collated numpy batches.
+
+    Multi-host: every process constructs the IDENTICAL global batch sequence
+    (same indices + same seed -> same sampler decisions, including bucket
+    composition and padding), then loads only its ``process_index`` slice of
+    each global batch.  This guarantees equal batch counts and matching
+    per-step shapes across processes — per-process index sharding cannot
+    (bucket composition would diverge and SPMD collectives would deadlock).
+    ``batch_size`` is the GLOBAL batch; it must divide by ``process_count``.
+    """
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
                  num_workers: int = 4, prefetch_factor: int = 2,
                  seed: Optional[int] = 0,
-                 indices: Optional[Sequence[int]] = None):
+                 indices: Optional[Sequence[int]] = None,
+                 process_index: int = 0, process_count: int = 1):
+        if batch_size % max(1, process_count):
+            raise ValueError(
+                f"global batch {batch_size} must divide process_count "
+                f"{process_count}")
         self.dataset = dataset
         self.batch_size = batch_size
         self.sampler = BucketBatchSampler(dataset, batch_size, shuffle,
                                           seed=seed, indices=indices)
         self.num_workers = max(1, num_workers)
         self.prefetch = max(1, prefetch_factor)
+        self.process_index = process_index
+        self.process_count = max(1, process_count)
 
     def __len__(self) -> int:
         return len(self.sampler)
 
+    def _local_slice(self, indices, mask):
+        if self.process_count == 1:
+            return indices, mask
+        per = len(indices) // self.process_count
+        lo = self.process_index * per
+        return indices[lo:lo + per], mask[lo:lo + per]
+
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
-        batches = list(self.sampler)
+        batches = [self._local_slice(idx, mask)
+                   for idx, mask in self.sampler]
         stop = threading.Event()
 
         def producer():

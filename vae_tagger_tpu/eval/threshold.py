@@ -23,17 +23,24 @@ from .metrics import MultiLabelEvaluator
 
 
 def _collect(predict_fn: Callable, loader) -> tuple:
+    from ..parallel.mesh import gather_to_host
+
     probs_all, targets_all = [], []
     for batch in loader:
-        probs = np.asarray(predict_fn(batch))
+        # gather_to_host makes probs/labels/mask GLOBAL on every process
+        # (multi-host: loaders hold per-process slices, predictions are
+        # device-sharded); a no-op np conversion on one host
+        probs = gather_to_host(predict_fn(batch))
+        labels = gather_to_host(np.asarray(batch["labels"]))
         mask = batch.get("batch_mask")
         if mask is not None:
+            mask = gather_to_host(np.asarray(mask))
             probs = probs[mask]
-            targets = batch["labels"][mask]
+            targets = labels[mask]
         else:
-            targets = batch["labels"]
+            targets = labels
         probs_all.append(probs)
-        targets_all.append(np.asarray(targets))
+        targets_all.append(targets)
     return np.vstack(probs_all), np.vstack(targets_all)
 
 

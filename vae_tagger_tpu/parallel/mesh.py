@@ -64,6 +64,23 @@ def replicate(tree, mesh: Mesh):
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
 
 
+def gather_to_host(x) -> np.ndarray:
+    """The GLOBAL value of ``x`` as a host numpy array, on every process.
+
+    Single-host: plain np.asarray.  Multi-host: ``process_allgather`` — both
+    for globally-sharded jax.Arrays (np.asarray would raise on
+    non-addressable shards) and for per-process-local numpy arrays
+    (concatenated in process order, which matches the logical order of a
+    P('data') sharding over jax.devices() and of the loader's contiguous
+    per-process batch slices).
+    """
+    if jax.process_count() == 1:
+        return np.asarray(x)
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+
+
 def is_main_process() -> bool:
     """Rank gating for logging/checkpointing (multi-host)."""
     return jax.process_index() == 0

@@ -36,28 +36,21 @@ def build_dataset_and_loaders(args, return_triplets: bool):
         seed=args.seed,
     )
     train_idx, val_idx = train_val_split(len(dataset), 0.1, seed=args.seed or 42)
-    # Each process loads only the slice of the global batch that lands on
-    # its local devices (shard_batch assembles the global array); on a
-    # single host this is simply batch * n_devices.
-    local_batch = args.train_batch_size * jax.local_device_count()
+    # All processes see the FULL index lists and an identical seed: the
+    # sampler then makes identical global batching decisions everywhere and
+    # each process loads only its slice of every global batch (loader.py) —
+    # equal batch counts and matching shapes across hosts by construction.
     global_batch = args.train_batch_size * jax.device_count()
-    if jax.process_count() > 1:
-        # strided shard per process, trimmed to equal length so every
-        # process yields the same number of (fixed-shape) batches — unequal
-        # counts would deadlock the SPMD collectives
-        n_proc = jax.process_count()
-        shard_len = len(train_idx) // n_proc
-        train_idx = train_idx[jax.process_index()::n_proc][:shard_len]
-        val_shard = max(1, len(val_idx) // n_proc)
-        val_idx = val_idx[jax.process_index()::n_proc][:val_shard]
-    train_loader = DataLoader(dataset, local_batch, shuffle=True,
+    proc_kw = dict(process_index=jax.process_index(),
+                   process_count=jax.process_count())
+    train_loader = DataLoader(dataset, global_batch, shuffle=True,
                               num_workers=args.num_workers,
                               prefetch_factor=args.prefetch_factor,
-                              seed=args.seed, indices=train_idx)
-    val_loader = DataLoader(dataset, local_batch, shuffle=False,
+                              seed=args.seed, indices=train_idx, **proc_kw)
+    val_loader = DataLoader(dataset, global_batch, shuffle=False,
                             num_workers=max(1, args.num_workers // 2),
                             prefetch_factor=args.prefetch_factor,
-                            seed=args.seed, indices=val_idx)
+                            seed=args.seed, indices=val_idx, **proc_kw)
     print(f"train size: {len(train_idx)}, val size: {len(val_idx)}, "
           f"global batch: {global_batch} "
           f"({jax.device_count()} devices, {jax.process_count()} processes)")
@@ -123,7 +116,9 @@ class EpochLoop:
                     profile_range = None
                     print(f"profiler trace written to "
                           f"{args.output_dir}/profile")
-                images_seen += int(np.asarray(batch["labels"]).shape[0])
+                # shape only — materializing a multi-host global array with
+                # np.asarray would raise (non-addressable shards)
+                images_seen += int(batch["labels"].shape[0])
                 pending.append((step, metrics))
                 if len(pending) > 1:
                     self._drain(pending.pop(0), train_losses, epoch,

@@ -127,7 +127,7 @@ def train_decoder(args):
 
     def predict_fn(batch):
         sb = shard_batch(batch, mesh)
-        return np.asarray(eval_step(state, vae_params, sb)["probs"])
+        return eval_step(state, vae_params, sb)["probs"]
 
     thresholds = find_optimal_threshold(predict_fn, val_loader, class_names,
                                         output_dir=args.output_dir)

@@ -151,7 +151,7 @@ def train_full(args):
 
     def predict_fn(batch):
         sb = shard_batch(batch, mesh)
-        return np.asarray(run_eval(state, sb, 0)["probs"])
+        return run_eval(state, sb, 0)["probs"]
 
     thresholds = find_optimal_threshold(predict_fn, val_loader, class_names,
                                         output_dir=args.output_dir)
