@@ -102,12 +102,13 @@ def vae_config_from_file(path: str) -> VAEConfig:
         return vae_config_from_dict(json.load(f))
 
 
-def get_vae_latent_info(resolution: int, latent_channels: int = 16) -> dict:
+def get_vae_latent_info(resolution: int, latent_channels: int = 16,
+                        downsample_factor: int = 8) -> dict:
     """Latent geometry for a given input resolution.
 
-    Mirrors ``/root/reference/modules.py:244-254`` (downsample factor 8).
+    Mirrors ``/root/reference/modules.py:244-254`` (factor 8 for the FLUX
+    config); pass ``config.downsample_factor`` for non-default block counts.
     """
-    downsample_factor = 8
     latent_height = resolution // downsample_factor
     latent_width = resolution // downsample_factor
     return {

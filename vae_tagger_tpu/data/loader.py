@@ -100,8 +100,8 @@ class DataLoader:
                  process_index: int = 0, process_count: int = 1):
         if batch_size % max(1, process_count):
             raise ValueError(
-                f"global batch {batch_size} must divide process_count "
-                f"{process_count}")
+                f"process_count {process_count} must divide the global "
+                f"batch size {batch_size}")
         self.dataset = dataset
         self.batch_size = batch_size
         self.sampler = BucketBatchSampler(dataset, batch_size, shuffle,

@@ -43,7 +43,11 @@ class MultiLabelEvaluator:
     def compute_metrics(self, threshold: float = 0.5) -> Dict:
         if not self.all_targets:
             raise ValueError("update() was never called")
-        y_true = np.vstack(self.all_targets)
+        # binarize weighted labels (tag:0.8 etc.): sklearn's classification
+        # metrics reject continuous targets.  (The reference would crash
+        # here on any weighted dataset; its threshold search truncates with
+        # astype(int) instead — preserved separately in threshold.py.)
+        y_true = (np.vstack(self.all_targets) > 0).astype(np.float32)
         y_pred = np.vstack(self.all_predictions)
         y_prob = (np.vstack(self.all_probabilities)
                   if self.all_probabilities else y_pred)

@@ -2,6 +2,7 @@ from .classification import focal_loss, bce_with_logits, class_balanced_loss, cl
 from .metric_learning import triplet_loss, contrastive_loss
 from .combined import (
     AdaptiveLossWeights,
+    classification_term,
     simplified_combined_loss,
     combined_loss,
     compute_class_distribution,
@@ -15,6 +16,7 @@ __all__ = [
     "triplet_loss",
     "contrastive_loss",
     "AdaptiveLossWeights",
+    "classification_term",
     "simplified_combined_loss",
     "combined_loss",
     "compute_class_distribution",

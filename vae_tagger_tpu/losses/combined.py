@@ -64,7 +64,7 @@ class LossConfig:
     similarity_type: str = "cosine"
 
 
-def _classification_term(cfg: LossConfig, logits, targets, cb_weights):
+def classification_term(cfg: LossConfig, logits, targets, cb_weights):
     if cfg.use_class_balanced and cb_weights is not None:
         return class_balanced_loss(logits, targets, cb_weights)
     if cfg.use_focal_loss:
@@ -100,7 +100,7 @@ def simplified_combined_loss(
         loss_dict["triplet_loss"] = t
 
     if classification_logits is not None and classification_targets is not None:
-        cl = _classification_term(cfg, classification_logits,
+        cl = classification_term(cfg, classification_logits,
                                   classification_targets, cb_weights)
         total = total + cfg.classification_weight * cl
         loss_dict["classification_loss"] = cl
@@ -135,7 +135,7 @@ def combined_loss(
     trip = triplet_loss(z_a, z_p, z_n, anchor_labels, positive_labels,
                         margin=cfg.triplet_margin,
                         similarity_type=cfg.similarity_type)
-    cls = _classification_term(cfg, classification_logits,
+    cls = classification_term(cfg, classification_logits,
                                classification_targets, cb_weights)
 
     losses = [recon, kl, trip, cls]

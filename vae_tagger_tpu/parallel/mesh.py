@@ -87,14 +87,20 @@ def is_main_process() -> bool:
 
 
 def initialize_distributed():
-    """Multi-host init (no-op on single host).  The reference leaves process
-    groups to torchrun/Accelerate; jax.distributed is the SPMD equivalent."""
-    if jax.process_count() > 1:
-        return  # already initialized
-    try:
-        import os
+    """Multi-host init; call FIRST in every trainer, before any jax device
+    query (querying devices initializes the backend and makes a later
+    jax.distributed.initialize() fail).  No-op unless a coordinator address
+    is configured; on TPU pods with automatic discovery, set
+    JAX_COORDINATOR_ADDRESS or rely on the platform's launcher.
 
-        if os.environ.get("JAX_COORDINATOR_ADDRESS"):
-            jax.distributed.initialize()
+    The reference leaves process groups to torchrun/Accelerate;
+    jax.distributed is the SPMD equivalent."""
+    import os
+
+    if not (os.environ.get("JAX_COORDINATOR_ADDRESS")
+            or os.environ.get("COORDINATOR_ADDRESS")):
+        return
+    try:
+        jax.distributed.initialize()
     except Exception as e:
         print(f"jax.distributed.initialize skipped: {e}")

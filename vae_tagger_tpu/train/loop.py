@@ -77,15 +77,19 @@ class EpochLoop:
         self.best_val_loss = float("inf")
 
     def _prefetched(self, loader):
-        """Yield batches already device_put with the data sharding, one batch
-        ahead of the consumer, so the host->device transfer of batch N+1
-        overlaps the compute of batch N."""
+        """Yield (device_batch, n_real) one batch ahead of the consumer, so
+        the host->device transfer of batch N+1 overlaps the compute of batch
+        N.  n_real (count of non-padded rows, from the host-side mask) is
+        computed before device placement — a multi-host global array cannot
+        be materialized locally."""
         prev = None
         for batch in loader:
+            n_real = int(np.asarray(batch["batch_mask"]).sum()) \
+                if "batch_mask" in batch else batch["labels"].shape[0]
             batch = shard_batch(batch, self.mesh)
             if prev is not None:
                 yield prev
-            prev = batch
+            prev = (batch, n_real)
         if prev is not None:
             yield prev
 
@@ -103,21 +107,18 @@ class EpochLoop:
             train_losses = []
             pending = []  # (step, metrics) — read one step late (no sync)
             images_seen = 0
-            for step, batch in enumerate(self._prefetched(self.train_loader)):
+            for step, (batch, _) in enumerate(
+                    self._prefetched(self.train_loader)):
                 if profile_range and global_step == profile_range[0]:
                     jax.profiler.start_trace(
                         os.path.join(args.output_dir, "profile"))
                 state, metrics = self.run_train_step(state, batch, global_step)
                 if profile_range and global_step == profile_range[1]:
-                    jax.tree.map(
-                        lambda x: jax.device_get(x) if hasattr(x, "shape")
-                        else x, metrics)
+                    jax.device_get(metrics)
                     jax.profiler.stop_trace()
                     profile_range = None
                     print(f"profiler trace written to "
                           f"{args.output_dir}/profile")
-                # shape only — materializing a multi-host global array with
-                # np.asarray would raise (non-addressable shards)
                 images_seen += int(batch["labels"].shape[0])
                 pending.append((step, metrics))
                 if len(pending) > 1:
@@ -128,13 +129,20 @@ class EpochLoop:
                 self._drain(item, train_losses, epoch, lr_schedule,
                             global_step)
 
-            val_losses = []
-            for batch in self._prefetched(self.val_loader):
-                metrics = self.run_eval_step(state, batch, global_step)
+            # batch losses weighted by real (non-padded) row counts so the
+            # sampler's fixed-shape padding doesn't skew best-model selection
+            val_losses, val_weights = [], []
+            for i, (batch, n_real) in enumerate(
+                    self._prefetched(self.val_loader)):
+                # distinct rng per val batch (sampling/dropout noise must
+                # not repeat across batches)
+                metrics = self.run_eval_step(state, batch, global_step + i)
                 val_losses.append(float(jax.device_get(metrics["loss"])))
+                val_weights.append(max(n_real, 0))
 
             avg_train = float(np.mean(train_losses)) if train_losses else 0.0
-            avg_val = float(np.mean(val_losses)) if val_losses else 0.0
+            avg_val = (float(np.average(val_losses, weights=val_weights))
+                       if val_losses and sum(val_weights) else 0.0)
             lr = (float(lr_schedule(global_step)) if lr_schedule else 0.0)
             self.history["train_loss"].append(avg_train)
             self.history["val_loss"].append(avg_val)
@@ -145,19 +153,28 @@ class EpochLoop:
                 print(f"Epoch {epoch} completed - Train Loss: {avg_train:.4f}, "
                       f"Val Loss: {avg_val:.4f} "
                       f"({images_seen / max(dt, 1e-9):.2f} images/sec)")
-                if avg_val < self.best_val_loss:
-                    self.best_val_loss = avg_val
+            # Checkpoint callbacks run on EVERY process: orbax save is a
+            # collective over multi-host arrays (gating it on process 0
+            # would deadlock processes 1..N at the next psum).  avg_val is
+            # identical everywhere, so the decisions agree; the callbacks
+            # gate their own file writes on is_main_process.
+            if avg_val < self.best_val_loss:
+                self.best_val_loss = avg_val
+                if is_main_process():
                     print(f"New best validation loss: {avg_val:.4f}")
-                    self.on_best(state, epoch)
-                if (self.on_periodic is not None
-                        and (epoch + 1) % args.save_steps == 0):
-                    self.on_periodic(state, epoch)
+                self.on_best(state, epoch)
+            if (self.on_periodic is not None
+                    and (epoch + 1) % args.save_steps == 0):
+                self.on_periodic(state, epoch)
         return state
 
     def _drain(self, item, train_losses, epoch, lr_schedule, global_step):
         step, metrics = item
-        host = {k: float(jax.device_get(v)) for k, v in metrics.items()
-                if np.ndim(jax.device_get(v)) == 0}
+        # one transfer for the whole dict (each device_get is a host
+        # round trip; this backend's dispatch RTT makes per-leaf gets
+        # expensive)
+        host_all = jax.device_get(metrics)
+        host = {k: float(v) for k, v in host_all.items() if np.ndim(v) == 0}
         train_losses.append(host.get("loss", 0.0))
         if is_main_process() and step % self.args.logging_steps == 0:
             parts = [f"Epoch: {epoch}", f"Step: {step}"]

@@ -27,12 +27,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from ..losses.classification import (
-    bce_with_logits,
-    class_balanced_loss,
-    focal_loss,
-)
-from ..losses.combined import LossConfig, log_damped_kl
+from ..losses.combined import LossConfig, classification_term, log_damped_kl
 from ..losses.metric_learning import contrastive_loss, triplet_loss
 from ..models.autoencoder_kl import (
     AutoencoderKL,
@@ -69,14 +64,6 @@ def _triplet_posterior(vae: AutoencoderKL, vae_params, batch, compute_dtype,
     return DiagonalGaussian(
         mean=jnp.concatenate([m for m, _ in parts], axis=0),
         logvar=jnp.concatenate([lv for _, lv in parts], axis=0))
-
-
-def _classification_term(cfg: LossConfig, logits, targets, cb_weights):
-    if cfg.use_class_balanced and cb_weights is not None:
-        return class_balanced_loss(logits, targets, cb_weights)
-    if cfg.use_focal_loss:
-        return focal_loss(logits, targets, cfg.focal_alpha, cfg.focal_gamma)
-    return bce_with_logits(logits, targets)
 
 
 def _decoder_forward(decoder, params, batch_stats, latents, *, train, rng):
@@ -117,7 +104,7 @@ def make_decoder_steps(vae: AutoencoderKL, decoder, cfg: LossConfig,
             logits, new_stats = _decoder_forward(
                 decoder, params, state.batch_stats, latents,
                 train=True, rng=rng)
-            loss = _classification_term(cfg, logits, batch["labels"],
+            loss = classification_term(cfg, logits, batch["labels"],
                                         cb_weights)
             return loss, new_stats
 
@@ -132,7 +119,7 @@ def make_decoder_steps(vae: AutoencoderKL, decoder, cfg: LossConfig,
         logits, _ = _decoder_forward(decoder, state.params,
                                      state.batch_stats, latents,
                                      train=False, rng=None)
-        loss = _classification_term(cfg, logits, batch["labels"], cb_weights)
+        loss = classification_term(cfg, logits, batch["labels"], cb_weights)
         probs = jax.nn.sigmoid(logits.astype(jnp.float32))
         return {"loss": loss, "probs": probs}
 
@@ -240,7 +227,7 @@ def make_full_steps(vae: AutoencoderKL, decoder, cfg: LossConfig,
                     similarity_type=cfg.similarity_type)
                 semantic_w = cfg.triplet_weight
                 metrics["triplet_loss"] = semantic
-            cls = _classification_term(cfg, logits, labels, cb_weights)
+            cls = classification_term(cfg, logits, labels, cb_weights)
             total = semantic_w * semantic + cfg.classification_weight * cls
             metrics["classification_loss"] = cls
         else:
@@ -254,7 +241,7 @@ def make_full_steps(vae: AutoencoderKL, decoder, cfg: LossConfig,
             trip = triplet_loss(z_a, z_p, z_n, labels, positive_labels,
                                 margin=cfg.triplet_margin,
                                 similarity_type=cfg.similarity_type)
-            cls = _classification_term(cfg, logits, labels, cb_weights)
+            cls = classification_term(cfg, logits, labels, cb_weights)
             metrics.update(reconstruction_loss=recon, kl_loss=klr,
                            triplet_loss=trip, classification_loss=cls)
             if cfg.use_adaptive_weights and adaptive_module is not None:

@@ -23,7 +23,13 @@ from ..io.orbax_io import restore_train_state, save_train_state
 from ..io.torch_bin import load_decoder_params, save_decoder_bin
 from ..losses.classification import class_balanced_weights
 from ..losses.combined import LossConfig
-from ..parallel.mesh import make_mesh, replicate, shard_batch
+from ..parallel.mesh import (
+    initialize_distributed,
+    is_main_process,
+    make_mesh,
+    replicate,
+    shard_batch,
+)
 from .loop import EpochLoop, build_dataset_and_loaders
 from .schedule import build_lr_schedule
 from .state import TrainState, build_optimizer
@@ -38,6 +44,7 @@ def _init_decoder_variables(decoder, latent_channels, seed=0):
 
 
 def train_decoder(args):
+    initialize_distributed()
     os.makedirs(args.output_dir, exist_ok=True)
     policy = resolve_mixed_precision(args.mixed_precision)
     attention_config = resolve_attention_flags(args)
@@ -45,7 +52,7 @@ def train_decoder(args):
     vae, vae_params = load_vae_bundle(
         args.vae_checkpoint, args.vae_config_path, policy=policy,
         require_checkpoint=True)
-    print(f"VAE latent info: {get_vae_latent_info(args.resolution, vae.config.latent_channels)}")
+    print(f"VAE latent info: {get_vae_latent_info(args.resolution, vae.config.latent_channels, vae.config.downsample_factor)}")
 
     dataset, train_loader, val_loader = build_dataset_and_loaders(
         args, return_triplets=False)
@@ -96,23 +103,25 @@ def train_decoder(args):
         return eval_step(state, vae_params, batch)
 
     def save_decoder(state, suffix):
+        # torch-format export is a plain file write -> main process only
+        # (params are replicated, so device_get is host-local); the orbax
+        # save in the callers is collective and runs on every process
+        if not is_main_process():
+            return
         host = jax.device_get(state)
         save_decoder_bin(host.params, host.batch_stats,
                          os.path.join(args.output_dir, suffix))
+        print(f"decoder saved to: {args.output_dir}/{suffix}")
 
     def on_best(state, epoch):
         save_train_state(state, os.path.join(args.output_dir,
                                              "best_checkpoint"))
         save_decoder(state, "best_pytorch_model.bin")
-        print(f"best decoder saved to: "
-              f"{args.output_dir}/best_pytorch_model.bin")
 
     def on_periodic(state, epoch):
         save_train_state(state, os.path.join(args.output_dir,
                                              f"checkpoint-{epoch}"))
         save_decoder(state, "pytorch_model.bin")
-        print(f"checkpoint decoder saved to: "
-              f"{args.output_dir}/pytorch_model.bin")
 
     loop = EpochLoop(args, train_loader, val_loader, run_train, run_eval,
                      on_best, on_periodic)

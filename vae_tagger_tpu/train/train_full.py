@@ -24,7 +24,13 @@ from ..io.safetensors_io import save_vae_pretrained
 from ..io.torch_bin import load_decoder_params, save_decoder_bin
 from ..losses.classification import class_balanced_weights
 from ..losses.combined import AdaptiveLossWeights, LossConfig
-from ..parallel.mesh import make_mesh, replicate, shard_batch
+from ..parallel.mesh import (
+    initialize_distributed,
+    is_main_process,
+    make_mesh,
+    replicate,
+    shard_batch,
+)
 from .loop import EpochLoop, build_dataset_and_loaders
 from .schedule import build_lr_schedule
 from .state import TrainState, build_optimizer
@@ -33,6 +39,7 @@ from .train_decoder import _init_decoder_variables
 
 
 def train_full(args):
+    initialize_distributed()
     os.makedirs(args.output_dir, exist_ok=True)
     policy = resolve_mixed_precision(args.mixed_precision)
     attention_config = resolve_attention_flags(args)
@@ -42,7 +49,7 @@ def train_full(args):
         require_checkpoint=False, resolution=args.resolution,
         remat=getattr(args, "remat", False))
     print(f"VAE latent info: "
-          f"{get_vae_latent_info(args.resolution, vae.config.latent_channels)}")
+          f"{get_vae_latent_info(args.resolution, vae.config.latent_channels, vae.config.downsample_factor)}")
 
     dataset, train_loader, val_loader = build_dataset_and_loaders(
         args, return_triplets=True)
@@ -115,6 +122,8 @@ def train_full(args):
                          jax.random.fold_in(base_rng, 10_000_000 + global_step))
 
     def export_models(state, vae_dir, decoder_dir):
+        if not is_main_process():
+            return  # file writes; the callers' orbax save is the collective
         host = jax.device_get(state)
         vae_out = os.path.join(args.output_dir, vae_dir)
         dec_out = os.path.join(args.output_dir, decoder_dir)

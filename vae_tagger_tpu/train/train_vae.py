@@ -17,7 +17,12 @@ from ..infer.engine import load_vae_bundle
 from ..io.orbax_io import restore_train_state, save_train_state
 from ..io.safetensors_io import save_vae_pretrained
 from ..losses.combined import LossConfig
-from ..parallel.mesh import make_mesh, replicate
+from ..parallel.mesh import (
+    initialize_distributed,
+    is_main_process,
+    make_mesh,
+    replicate,
+)
 from .loop import EpochLoop, build_dataset_and_loaders
 from .schedule import build_lr_schedule
 from .state import TrainState, build_optimizer
@@ -25,6 +30,7 @@ from .steps import make_vae_steps
 
 
 def train_vae(args):
+    initialize_distributed()
     os.makedirs(args.output_dir, exist_ok=True)
     policy = resolve_mixed_precision(args.mixed_precision)
 
@@ -71,6 +77,8 @@ def train_vae(args):
                          jax.random.fold_in(base_rng, 10_000_000 + global_step))
 
     def export_vae(state, subdir):
+        if not is_main_process():
+            return  # file write; the callers' orbax save is the collective
         host_params = jax.device_get(state.params)
         out = os.path.join(args.output_dir, subdir)
         save_vae_pretrained(host_params, vae.config, out)
