@@ -7,6 +7,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
+import pytest
 import torch
 
 from vae_tagger_tpu.core.config import AttentionDecoderConfig, default_flux_vae_config
@@ -105,3 +106,54 @@ def test_attention_decoder_with_cross_attention_runs():
     assert logits.shape == (2, 5)
     assert "cross_attention" in variables["params"]
     assert "query_generator" in variables["params"]
+
+def test_partial_vae_checkpoint_reports_and_merges(tmp_path, capsys):
+    """A truncated safetensors file must load with key-diff reporting and
+    fresh init for the missing keys (the reference's strict=False contract),
+    not fail deep inside apply."""
+    from vae_tagger_tpu.infer.engine import load_vae_bundle
+    from safetensors.numpy import save_file
+    from vae_tagger_tpu.io.safetensors_io import torch_state_from_flax_params
+
+    cfg = default_flux_vae_config(block_out_channels=(8, 8, 8, 8),
+                                  norm_num_groups=4, latent_channels=4)
+    from vae_tagger_tpu.models.autoencoder_kl import AutoencoderKL
+
+    model = AutoencoderKL(cfg)
+    params = jax.jit(model.init)({"params": jax.random.key(0)},
+                                 jnp.zeros((1, 16, 16, 3)),
+                                 jax.random.key(1))["params"]
+    state = torch_state_from_flax_params(params)
+    # drop the decoder half entirely (like a partially-downloaded file)
+    truncated = {k: np.ascontiguousarray(v) for k, v in state.items()
+                 if not k.startswith("decoder.")}
+    path = str(tmp_path / "partial.safetensors")
+    save_file(truncated, path)
+
+    cfg_path = str(tmp_path / "config.json")
+    import json as _json
+    with open(cfg_path, "w") as f:
+        _json.dump(cfg.to_json_dict(), f)
+
+    model2, merged = load_vae_bundle(vae_checkpoint=path,
+                                     vae_config_path=cfg_path)
+    out = capsys.readouterr().out
+    assert "missing keys" in out
+    assert "decoder" in out
+    # encoder weights came from the file; decoder keys freshly initialized
+    np.testing.assert_array_equal(merged["encoder"]["conv_in"]["kernel"],
+                                  params["encoder"]["conv_in"]["kernel"])
+    assert "conv_in" in merged["decoder"]
+
+
+def test_quant_conv_config_rejected():
+    from vae_tagger_tpu.models.autoencoder_kl import AutoencoderKL
+
+    cfg = default_flux_vae_config(use_quant_conv=True,
+                                  block_out_channels=(8, 8, 8, 8),
+                                  norm_num_groups=4, latent_channels=4)
+    model = AutoencoderKL(cfg)
+    with pytest.raises(NotImplementedError, match="quant_conv"):
+        jax.eval_shape(lambda: model.init(
+            {"params": jax.random.key(0)}, jnp.zeros((1, 16, 16, 3)),
+            jax.random.key(1)))

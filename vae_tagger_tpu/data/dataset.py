@@ -87,7 +87,8 @@ class TaggedImageDataset:
         self.resolution = resolution
         self.return_triplets = return_triplets
         self.max_candidates = max_candidates
-        self._rng = random.Random(seed)
+        self._seed = seed if seed is not None else 0
+        self.epoch = 0  # bump via set_epoch() to vary triplets per epoch
 
         # dense label matrix
         self.labels_matrix = np.stack([
@@ -118,6 +119,13 @@ class TaggedImageDataset:
         """Positive-image count per tag (improved_losses.py:341-348)."""
         return self._presence.sum(axis=0).astype(np.float64)
 
+    def set_epoch(self, epoch: int) -> None:
+        """Vary triplet sampling across epochs (torch DataLoader-style).
+        Called by the training loop; keeps mining deterministic under the
+        loader's thread pool (a shared random.Random mutated from worker
+        threads is schedule-dependent)."""
+        self.epoch = epoch
+
     def bucket_of(self, idx: int) -> Optional[Tuple[int, int]]:
         if not self.use_bucketing:
             return None
@@ -128,8 +136,12 @@ class TaggedImageDataset:
 
     # -- triplet mining (modules.py:599-686 policy) -------------------------
     def _mine_triplet(self, anchor_idx: int) -> Tuple[int, int]:
+        # per-(seed, epoch, anchor) rng: deterministic regardless of loader
+        # thread scheduling, fresh triplets every epoch
+        # hash of an int tuple is deterministic (PYTHONHASHSEED only salts
+        # str/bytes); random.Random itself rejects tuple seeds
+        rng = random.Random(hash((self._seed, self.epoch, anchor_idx)))
         n = len(self.image_paths)
-        anchor_presence = self._presence[anchor_idx]
         anchor_tag_count = float(self.labels_matrix[anchor_idx].sum())
 
         k = min(self.max_candidates, max(0, n - 1))
@@ -137,7 +149,7 @@ class TaggedImageDataset:
             return anchor_idx, anchor_idx
         candidates = set()
         while len(candidates) < k:
-            j = self._rng.randrange(n)
+            j = rng.randrange(n)
             if j != anchor_idx:
                 candidates.add(j)
         candidates = list(candidates)
@@ -150,21 +162,21 @@ class TaggedImageDataset:
         if anchor_tag_count > 1 and positives.size:
             pos_overlaps = overlaps[overlaps > 0]
             # prefer the max-overlap positive with p=0.7 when there's a choice
-            if positives.size > 1 and self._rng.random() < 0.7:
+            if positives.size > 1 and rng.random() < 0.7:
                 positive_idx = int(positives[int(np.argmax(pos_overlaps))])
             else:
-                positive_idx = int(self._rng.choice(list(positives)))
+                positive_idx = int(rng.choice(list(positives)))
         elif positives.size:
-            positive_idx = int(self._rng.choice(list(positives)))
+            positive_idx = int(rng.choice(list(positives)))
         else:
             positive_idx = anchor_idx  # rare tag combination: use anchor
 
         if negatives.size:
-            negative_idx = int(self._rng.choice(list(negatives)))
+            negative_idx = int(rng.choice(list(negatives)))
         elif n > 1:
             negative_idx = anchor_idx
             while negative_idx == anchor_idx:
-                negative_idx = self._rng.randrange(n)
+                negative_idx = rng.randrange(n)
         else:
             negative_idx = anchor_idx
         return positive_idx, negative_idx

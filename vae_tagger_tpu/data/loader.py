@@ -115,11 +115,14 @@ class DataLoader:
         return len(self.sampler)
 
     def _local_slice(self, indices, mask):
+        """(local_indices, local_mask, global_real_count) — the count comes
+        from the GLOBAL mask so every process agrees on batch weighting."""
+        n_real_global = sum(mask)
         if self.process_count == 1:
-            return indices, mask
+            return indices, mask, n_real_global
         per = len(indices) // self.process_count
         lo = self.process_index * per
-        return indices[lo:lo + per], mask[lo:lo + per]
+        return indices[lo:lo + per], mask[lo:lo + per], n_real_global
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
@@ -127,14 +130,27 @@ class DataLoader:
                    for idx, mask in self.sampler]
         stop = threading.Event()
 
+        def safe_put(item) -> bool:
+            # never block forever: the consumer may have exited early
+            while not stop.is_set():
+                try:
+                    out_q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def producer():
             with ThreadPoolExecutor(self.num_workers) as pool:
-                for indices, mask in batches:
+                for indices, mask, n_real_global in batches:
                     if stop.is_set():
                         break
                     items = list(pool.map(self.dataset.__getitem__, indices))
-                    out_q.put(_collate(items, mask))
-            out_q.put(None)
+                    batch = _collate(items, mask)
+                    batch["global_real_count"] = np.int64(n_real_global)
+                    if not safe_put(batch):
+                        return
+            safe_put(None)
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()

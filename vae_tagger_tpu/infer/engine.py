@@ -68,7 +68,19 @@ def load_vae_bundle(vae_checkpoint: Optional[str] = None,
                           param_dtype=policy.param_dtype, remat=remat)
     if vae_checkpoint and os.path.exists(vae_checkpoint):
         print(f"loading pretrained VAE weights: {vae_checkpoint}")
-        params = load_vae_params(vae_checkpoint)
+        from ..io.safetensors_io import diff_trees, merge_into_reference
+
+        loaded = load_vae_params(vae_checkpoint)
+        # strict=False with key-diff reporting (the reference's semantics);
+        # shape checks run against an abstract init (no compute) and fresh
+        # initialization is only paid when keys are actually missing
+        abstract = jax.eval_shape(lambda: _init_vae_params(model))
+        missing, _ = diff_trees(abstract, loaded, label="VAE ")
+        if missing:
+            print("initializing missing VAE keys fresh (strict=False load)")
+            params = merge_into_reference(_init_vae_params(model), loaded)
+        else:
+            params = merge_into_reference(abstract, loaded)
     elif require_checkpoint:
         raise RuntimeError("a VAE checkpoint or config file is required")
     else:
@@ -124,10 +136,18 @@ class TaggerEngine:
         if not os.path.exists(decoder_checkpoint):
             raise RuntimeError(
                 f"decoder checkpoint not found: {decoder_checkpoint}")
-        params, batch_stats = load_decoder_params(decoder_checkpoint)
+        from ..io.safetensors_io import diff_trees, merge_into_reference
+        from ..train.train_decoder import _init_decoder_variables
+
+        loaded_params, loaded_stats = load_decoder_params(decoder_checkpoint)
+        init_vars = _init_decoder_variables(
+            decoder, vae.config.latent_channels)
+        diff_trees(init_vars["params"], loaded_params, label="decoder ")
+        params = merge_into_reference(init_vars["params"], loaded_params)
         variables = {"params": params}
-        if batch_stats:
-            variables["batch_stats"] = batch_stats
+        if "batch_stats" in init_vars or loaded_stats:
+            variables["batch_stats"] = merge_into_reference(
+                init_vars.get("batch_stats", {}), loaded_stats or {})
         return cls(vae=vae, vae_params=vae_params, decoder=decoder,
                    decoder_variables=variables, tag_names=tag_names,
                    policy=policy)

@@ -143,33 +143,29 @@ def load_torch_state(path: str) -> Dict[str, np.ndarray]:
     return _load_torch_bin(path)
 
 
-def load_vae_params(path: str, reference_params: dict | None = None,
-                    verbose: bool = True) -> dict:
-    """Load VAE weights into a Flax param tree.
-
-    Like the reference's ``strict=False`` load with key-diff reporting
-    (``/root/reference/diffusers_vae_loader.py:44-49``): when
-    ``reference_params`` (a freshly initialized tree) is given, missing keys
-    keep their initialization, unexpected keys are reported and dropped.
-    """
-    state = load_torch_state(path)
-    loaded = flax_params_from_torch_state(state)
-    if reference_params is None:
-        return loaded
-
+def diff_trees(reference: dict, loaded: dict, *, verbose: bool = True,
+               label: str = "") -> tuple:
+    """(missing, unexpected) key-path sets with the reference's strict=False
+    key-diff reporting (``/root/reference/diffusers_vae_loader.py:44-49``)."""
     import jax
 
-    ref_flat = jax.tree_util.tree_flatten_with_path(reference_params)[0]
+    ref_flat = jax.tree_util.tree_flatten_with_path(reference)[0]
     ref_paths = {tuple(p.key for p in kp) for kp, _ in ref_flat}
     got_flat = jax.tree_util.tree_flatten_with_path(loaded)[0]
-    got = {tuple(p.key for p in kp): v for kp, v in got_flat}
-
-    missing = sorted(ref_paths - set(got))
-    unexpected = sorted(set(got) - ref_paths)
+    got_paths = {tuple(p.key for p in kp) for kp, _ in got_flat}
+    missing = sorted(ref_paths - got_paths)
+    unexpected = sorted(got_paths - ref_paths)
     if verbose and missing:
-        print(f"missing keys: {['/'.join(m) for m in missing]}")
+        print(f"{label}missing keys: {['/'.join(m) for m in missing]}")
     if verbose and unexpected:
-        print(f"unexpected keys: {['/'.join(u) for u in unexpected]}")
+        print(f"{label}unexpected keys: {['/'.join(u) for u in unexpected]}")
+    return missing, unexpected
+
+
+def merge_into_reference(reference: dict, loaded: dict) -> dict:
+    """Overlay loaded leaves onto the reference tree (missing keys keep the
+    reference values; unexpected keys are dropped); shapes are validated
+    against the reference."""
 
     def merge(ref_node, loaded_node):
         if not isinstance(ref_node, dict):
@@ -180,7 +176,7 @@ def load_vae_params(path: str, reference_params: dict | None = None,
             out[k] = merge(v, lv)
         return out
 
-    merged = merge(reference_params, loaded)
+    merged = merge(reference, loaded)
 
     def check_shapes(ref_node, new_node, path=()):
         if not isinstance(ref_node, dict):
@@ -192,8 +188,24 @@ def load_vae_params(path: str, reference_params: dict | None = None,
         for k in ref_node:
             check_shapes(ref_node[k], new_node[k], path + (k,))
 
-    check_shapes(reference_params, merged)
+    check_shapes(reference, merged)
     return merged
+
+
+def load_vae_params(path: str, reference_params: dict | None = None,
+                    verbose: bool = True) -> dict:
+    """Load VAE weights into a Flax param tree.
+
+    Like the reference's ``strict=False`` load with key-diff reporting: when
+    ``reference_params`` (a freshly initialized tree) is given, missing keys
+    keep their initialization, unexpected keys are reported and dropped.
+    """
+    state = load_torch_state(path)
+    loaded = flax_params_from_torch_state(state)
+    if reference_params is None:
+        return loaded
+    diff_trees(reference_params, loaded, verbose=verbose, label="VAE ")
+    return merge_into_reference(reference_params, loaded)
 
 
 def save_vae_pretrained(params: dict, config: VAEConfig, output_dir: str) -> None:

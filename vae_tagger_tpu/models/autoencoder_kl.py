@@ -150,6 +150,11 @@ class AutoencoderKL(nn.Module):
     remat: bool = False
 
     def setup(self):
+        if self.config.use_quant_conv or self.config.use_post_quant_conv:
+            raise NotImplementedError(
+                "use_quant_conv/use_post_quant_conv are not implemented "
+                "(FLUX VAEs use neither); loading an SD-style VAE with "
+                "quant convs would silently produce wrong latents")
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype,
                   remat=self.remat)
         self.encoder = Encoder(self.config, name="encoder", **kw)

@@ -51,11 +51,16 @@ def shard_batch(batch: dict, mesh: Mesh, axis: str = "data") -> dict:
     array without any cross-host copy.
     """
     sharding = batch_sharding(mesh, axis)
-    if jax.process_count() == 1:
-        return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
-    return jax.tree.map(
-        lambda x: jax.make_array_from_process_local_data(
-            sharding, np.asarray(x)), batch)
+    replicated = replicated_sharding(mesh)
+
+    def place(x):
+        x = np.asarray(x)
+        s = replicated if x.ndim == 0 else sharding  # scalars replicate
+        if jax.process_count() == 1:
+            return jax.device_put(x, s)
+        return jax.make_array_from_process_local_data(s, x)
+
+    return jax.tree.map(place, batch)
 
 
 def replicate(tree, mesh: Mesh):

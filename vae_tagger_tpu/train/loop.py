@@ -84,8 +84,10 @@ class EpochLoop:
         be materialized locally."""
         prev = None
         for batch in loader:
-            n_real = int(np.asarray(batch["batch_mask"]).sum()) \
-                if "batch_mask" in batch else batch["labels"].shape[0]
+            # GLOBAL real-row count (identical on every process — local mask
+            # sums would diverge and deadlock collective checkpointing)
+            n_real = int(batch.pop("global_real_count",
+                                   batch["labels"].shape[0]))
             batch = shard_batch(batch, self.mesh)
             if prev is not None:
                 yield prev
@@ -95,14 +97,23 @@ class EpochLoop:
 
     def run(self, state, lr_schedule=None):
         args = self.args
-        global_step = 0
+        # a restored state resumes the schedule and rng stream where it
+        # stopped (num_epochs then means ADDITIONAL epochs); fresh states
+        # start at 0
+        global_step = int(jax.device_get(state.step))
         # optional jax.profiler capture of early steady-state steps
         # (--profile_steps N; trace lands in <output_dir>/profile, viewable
         # in TensorBoard/Perfetto — the reference has no profiling at all,
         # SURVEY.md §5)
         profile_steps = getattr(args, "profile_steps", 0) or 0
-        profile_range = (2, 2 + profile_steps) if profile_steps else None
+        first_step = global_step
+        profile_range = ((first_step + 2, first_step + 2 + profile_steps)
+                         if profile_steps else None)
+        profiling = False
         for epoch in range(args.num_epochs):
+            dataset = getattr(self.train_loader, "dataset", None)
+            if dataset is not None and hasattr(dataset, "set_epoch"):
+                dataset.set_epoch(epoch)
             epoch_t0 = time.perf_counter()
             train_losses = []
             pending = []  # (step, metrics) — read one step late (no sync)
@@ -112,10 +123,12 @@ class EpochLoop:
                 if profile_range and global_step == profile_range[0]:
                     jax.profiler.start_trace(
                         os.path.join(args.output_dir, "profile"))
+                    profiling = True
                 state, metrics = self.run_train_step(state, batch, global_step)
-                if profile_range and global_step == profile_range[1]:
+                if profiling and global_step >= profile_range[1]:
                     jax.device_get(metrics)
                     jax.profiler.stop_trace()
+                    profiling = False
                     profile_range = None
                     print(f"profiler trace written to "
                           f"{args.output_dir}/profile")
@@ -166,6 +179,10 @@ class EpochLoop:
             if (self.on_periodic is not None
                     and (epoch + 1) % args.save_steps == 0):
                 self.on_periodic(state, epoch)
+        if profiling:  # run ended before profile_steps completed
+            jax.profiler.stop_trace()
+            print(f"profiler trace written to {args.output_dir}/profile "
+                  f"(run shorter than --profile_steps)")
         return state
 
     def _drain(self, item, train_losses, epoch, lr_schedule, global_step):

@@ -27,8 +27,14 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from ..losses.combined import LossConfig, classification_term, log_damped_kl
-from ..losses.metric_learning import contrastive_loss, triplet_loss
+from ..losses.combined import (
+    LossConfig,
+    classification_term,
+    combined_loss,
+    log_damped_kl,
+    simplified_combined_loss,
+)
+from ..losses.metric_learning import triplet_loss
 from ..models.autoencoder_kl import (
     AutoencoderKL,
     DiagonalGaussian,
@@ -210,50 +216,35 @@ def make_full_steps(vae: AutoencoderKL, decoder, cfg: LossConfig,
 
         labels = batch["labels"]
         positive_labels = batch.get("positive_labels", labels)
-        metrics = {}
 
+        # loss orchestration lives in losses/combined.py (single source of
+        # truth, exercised by the direct-reference parity tests)
         if use_simplified:
-            if cfg.use_contrastive and cfg.contrastive_weight > 0:
-                semantic = contrastive_loss(
-                    z_a, z_p, labels, positive_labels,
-                    margin=cfg.contrastive_margin,
-                    similarity_type=cfg.similarity_type)
-                semantic_w = cfg.contrastive_weight
-                metrics["contrastive_loss"] = semantic
-            else:
-                semantic = triplet_loss(
-                    z_a, z_p, z_n, labels, positive_labels,
-                    margin=cfg.triplet_margin,
-                    similarity_type=cfg.similarity_type)
-                semantic_w = cfg.triplet_weight
-                metrics["triplet_loss"] = semantic
-            cls = classification_term(cfg, logits, labels, cb_weights)
-            total = semantic_w * semantic + cfg.classification_weight * cls
-            metrics["classification_loss"] = cls
+            total, loss_dict = simplified_combined_loss(
+                cfg, z_a, z_p, z_n,
+                classification_logits=logits,
+                classification_targets=labels,
+                anchor_labels=labels,
+                positive_labels=positive_labels,
+                cb_weights=cb_weights)
         else:
             recon_a = vae.apply({"params": params["vae"]}, z_a,
                                 method=AutoencoderKL.decode)
             anchor_f32 = normalize_uint8(batch["anchor"], jnp.float32)
-            recon = jnp.mean(jnp.square(
-                recon_a.astype(jnp.float32) - anchor_f32))
             kl = posterior.kl()
-            klr = log_damped_kl(kl[:b], kl[b:2 * b], kl[2 * b:])
-            trip = triplet_loss(z_a, z_p, z_n, labels, positive_labels,
-                                margin=cfg.triplet_margin,
-                                similarity_type=cfg.similarity_type)
-            cls = classification_term(cfg, logits, labels, cb_weights)
-            metrics.update(reconstruction_loss=recon, kl_loss=klr,
-                           triplet_loss=trip, classification_loss=cls)
+            adaptive_fn = None
             if cfg.use_adaptive_weights and adaptive_module is not None:
-                total, weights = adaptive_module.apply(
-                    {"params": params["adaptive"]}, [recon, klr, trip, cls])
-                metrics["adaptive_weights"] = weights
-            else:
-                total = (cfg.reconstruction_weight * recon
-                         + cfg.kl_weight * klr
-                         + cfg.triplet_weight * trip
-                         + cfg.classification_weight * cls)
+                adaptive_fn = lambda losses: adaptive_module.apply(
+                    {"params": params["adaptive"]}, losses)
+            total, loss_dict = combined_loss(
+                cfg, recon_a, anchor_f32,
+                kl[:b], kl[b:2 * b], kl[2 * b:],
+                z_a, z_p, z_n, logits, labels,
+                anchor_labels=labels, positive_labels=positive_labels,
+                cb_weights=cb_weights, adaptive_weights_fn=adaptive_fn)
 
+        metrics = {k: v for k, v in loss_dict.items()
+                   if k not in ("total_loss", "weights")}
         metrics["loss"] = total
         probs = jax.nn.sigmoid(logits.astype(jnp.float32))
         return total, (metrics, new_stats, probs)

@@ -69,8 +69,14 @@ def train_decoder(args):
     if args.decoder_checkpoint and os.path.exists(args.decoder_checkpoint):
         print(f"loading pretrained decoder: {args.decoder_checkpoint}")
         try:
-            params, loaded_stats = load_decoder_params(args.decoder_checkpoint)
-            batch_stats = loaded_stats or batch_stats
+            from ..io.safetensors_io import diff_trees, merge_into_reference
+
+            loaded_params, loaded_stats = load_decoder_params(
+                args.decoder_checkpoint)
+            diff_trees(params, loaded_params, label="decoder ")
+            params = merge_into_reference(params, loaded_params)
+            if loaded_stats and batch_stats is not None:
+                batch_stats = merge_into_reference(batch_stats, loaded_stats)
         except Exception as e:
             print(f"decoder load failed, training from scratch: {e}")
 

@@ -66,9 +66,15 @@ def train_full(args):
     if args.decoder_checkpoint and os.path.exists(args.decoder_checkpoint):
         print(f"loading pretrained decoder: {args.decoder_checkpoint}")
         try:
-            decoder_params, loaded_stats = load_decoder_params(
+            from ..io.safetensors_io import diff_trees, merge_into_reference
+
+            loaded_params, loaded_stats = load_decoder_params(
                 args.decoder_checkpoint)
-            batch_stats = loaded_stats or batch_stats
+            diff_trees(decoder_params, loaded_params, label="decoder ")
+            decoder_params = merge_into_reference(decoder_params,
+                                                  loaded_params)
+            if loaded_stats and batch_stats is not None:
+                batch_stats = merge_into_reference(batch_stats, loaded_stats)
         except Exception as e:
             print(f"decoder load failed, training from scratch: {e}")
 
