@@ -133,3 +133,76 @@ def test_fixture_format(fixture_dataset):
 
     df = pd.read_csv(f"{out}/tags.csv")
     assert "name" in df.columns and "count" in df.columns
+
+
+def test_multihost_loader_slicing(fixture_dataset):
+    """Simulated 2-process loading: identical global batch sequence, each
+    process takes a contiguous half, counts/shapes/real-counts agree."""
+    out, info = fixture_dataset
+    ds = TaggedImageDataset(
+        json_path=f"{out}/data.json", tags_csv_path=f"{out}/tags.csv",
+        resolution=64, return_triplets=False, seed=0)
+    loaders = [DataLoader(ds, batch_size=4, shuffle=True, num_workers=1,
+                          seed=7, process_index=p, process_count=2)
+               for p in (0, 1)]
+    b0 = list(loaders[0])
+    b1 = list(loaders[1])
+    assert len(b0) == len(b1) == len(loaders[0])
+    for a, b in zip(b0, b1):
+        assert a["pixel_values"].shape == b["pixel_values"].shape == (2, 64, 64, 3)
+        # global real count identical across processes
+        assert int(a["global_real_count"]) == int(b["global_real_count"])
+        # disjoint halves of the same global batch
+        assert set(a["index"]).isdisjoint(set(b["index"])) or \
+            not (a["batch_mask"].all() and b["batch_mask"].all())
+
+
+def test_loader_early_exit_no_leak(fixture_dataset):
+    """Breaking out of iteration must not leave the producer thread alive."""
+    import threading
+
+    out, _ = fixture_dataset
+    ds = TaggedImageDataset(
+        json_path=f"{out}/data.json", tags_csv_path=f"{out}/tags.csv",
+        resolution=64, return_triplets=False, seed=0)
+    loader = DataLoader(ds, batch_size=2, shuffle=False, num_workers=1,
+                        prefetch_factor=1)
+    before = threading.active_count()
+    for i, batch in enumerate(loader):
+        break  # early exit after one batch
+    import time as _time
+    _time.sleep(0.5)
+    assert threading.active_count() <= before + 1  # producer wound down
+
+
+def test_triplet_mining_deterministic_and_epoch_varied(fixture_dataset):
+    out, _ = fixture_dataset
+    ds = TaggedImageDataset(
+        json_path=f"{out}/data.json", tags_csv_path=f"{out}/tags.csv",
+        resolution=64, seed=3)
+    a1 = ds._mine_triplet(0)
+    a2 = ds._mine_triplet(0)
+    assert a1 == a2  # deterministic within an epoch, regardless of threads
+    ds.set_epoch(0)
+    assert ds._mine_triplet(0) == a1  # epoch fully determines the stream
+    triplets0 = [ds._mine_triplet(i) for i in range(8)]
+    ds.set_epoch(1)
+    triplets1 = [ds._mine_triplet(i) for i in range(8)]
+    assert triplets0 != triplets1  # epochs vary the sampling
+
+
+def test_corrupt_image_yields_dummy(tmp_path):
+    """Unreadable images become black dummies (modules.py:717-729)."""
+    import json as _json
+
+    bad = tmp_path / "bad.png"
+    bad.write_bytes(b"not an image")
+    (tmp_path / "tags.csv").write_text("name\nfoo\n")
+    (tmp_path / "data.json").write_text(
+        _json.dumps({str(bad): "foo:1.0"}))
+    ds = TaggedImageDataset(json_path=str(tmp_path / "data.json"),
+                            tags_csv_path=str(tmp_path / "tags.csv"),
+                            resolution=32, return_triplets=False, seed=0)
+    item = ds[0]
+    assert item["pixel_values"].shape[2] == 3
+    assert item["pixel_values"].sum() == 0  # black dummy
