@@ -157,7 +157,8 @@ class TaggedImageDataset:
         overlaps = (self.labels_matrix[cand_arr]
                     * self.labels_matrix[anchor_idx]).sum(axis=1)
         positives = cand_arr[overlaps > 0]
-        negatives = cand_arr[overlaps == 0]
+        negatives = cand_arr[overlaps <= 0]  # reference else-branch: anything
+        # without positive overlap (incl. negative weights) is a negative
 
         if anchor_tag_count > 1 and positives.size:
             pos_overlaps = overlaps[overlaps > 0]

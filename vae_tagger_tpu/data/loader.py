@@ -141,16 +141,20 @@ class DataLoader:
             return False
 
         def producer():
-            with ThreadPoolExecutor(self.num_workers) as pool:
-                for indices, mask, n_real_global in batches:
-                    if stop.is_set():
-                        break
-                    items = list(pool.map(self.dataset.__getitem__, indices))
-                    batch = _collate(items, mask)
-                    batch["global_real_count"] = np.int64(n_real_global)
-                    if not safe_put(batch):
-                        return
-            safe_put(None)
+            try:
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    for indices, mask, n_real_global in batches:
+                        if stop.is_set():
+                            return
+                        items = list(pool.map(self.dataset.__getitem__,
+                                              indices))
+                        batch = _collate(items, mask)
+                        batch["global_real_count"] = np.int64(n_real_global)
+                        if not safe_put(batch):
+                            return
+                safe_put(None)
+            except BaseException as e:  # surface in the consumer, don't hang
+                safe_put(e)
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()
@@ -159,6 +163,8 @@ class DataLoader:
                 batch = out_q.get()
                 if batch is None:
                     break
+                if isinstance(batch, BaseException):
+                    raise batch
                 yield batch
         finally:
             stop.set()

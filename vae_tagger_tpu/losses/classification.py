@@ -50,6 +50,10 @@ def class_balanced_weights(samples_per_class, beta: float = 0.9999):
     weights are baked into the compiled step as a constant.
     """
     samples_per_class = np.asarray(samples_per_class, dtype=np.float64)
+    # a tag with zero positive images would make effective_num 0 -> inf/NaN
+    # weights poisoning every step (latent flaw in the reference too); treat
+    # it as count 1 (maximum weight, harmless: the class has no positives)
+    samples_per_class = np.maximum(samples_per_class, 1.0)
     effective_num = 1.0 - np.power(beta, samples_per_class)
     weights = (1.0 - beta) / effective_num
     weights = weights / weights.sum() * len(weights)

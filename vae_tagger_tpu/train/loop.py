@@ -110,10 +110,13 @@ class EpochLoop:
         profile_range = ((first_step + 2, first_step + 2 + profile_steps)
                          if profile_steps else None)
         profiling = False
+        # resumed runs continue the epoch numbering so triplet mining and
+        # shuffles don't replay the original run's streams
+        epoch_offset = first_step // max(1, len(self.train_loader))
         for epoch in range(args.num_epochs):
             dataset = getattr(self.train_loader, "dataset", None)
             if dataset is not None and hasattr(dataset, "set_epoch"):
-                dataset.set_epoch(epoch)
+                dataset.set_epoch(epoch + epoch_offset)
             epoch_t0 = time.perf_counter()
             train_losses = []
             pending = []  # (step, metrics) — read one step late (no sync)

@@ -158,15 +158,47 @@ def train_full(args):
                      on_best, on_periodic, log_metric_keys=log_keys)
     if getattr(args, "resume_from", None):
         state = restore_train_state(state, args.resume_from)
-        print(f"resumed from {args.resume_from} at step {int(state.step)}")
+        resume_step = int(jax.device_get(state.step))
+        print(f"resumed from {args.resume_from} at step {resume_step}")
+        # extend the LR schedule horizon: the restored optimizer count
+        # continues past a fresh run's total_steps, which would pin the
+        # default cosine/linear schedules at their fully-decayed (~0) tail
+        # for the whole resumed run
+        schedule = build_lr_schedule(args.lr_scheduler_type,
+                                     args.learning_rate,
+                                     args.lr_warmup_steps,
+                                     resume_step + total_steps)
+        state = state.replace(tx=build_optimizer(
+            schedule, args.weight_decay, args.max_grad_norm,
+            args.gradient_accumulation_steps))
     state = loop.run(state, lr_schedule=schedule)
 
     print("training complete; final evaluation...")
     loop.save_history(args.output_dir)
 
+    # anchor-only encode+classify for evaluation: the training eval_step
+    # runs the full 3x triplet forward just to produce probabilities
+    import jax.numpy as jnp
+
+    from ..models.autoencoder_kl import encode_scaled
+    from ..ops.image import normalize_uint8
+
+    @jax.jit
+    def _predict(params, batch_stats, pixels):
+        x = normalize_uint8(pixels, policy.compute_dtype)
+        posterior = vae.apply({"params": params["vae"]}, x,
+                              method=type(vae).encode)
+        latents = encode_scaled(posterior.mode(), vae.config).astype(
+            policy.compute_dtype)
+        variables = {"params": params["decoder"]}
+        if batch_stats is not None:
+            variables["batch_stats"] = batch_stats
+        logits = decoder.apply(variables, latents, deterministic=True)
+        return jax.nn.sigmoid(logits.astype(jnp.float32))
+
     def predict_fn(batch):
         sb = shard_batch(batch, mesh)
-        return run_eval(state, sb, 0)["probs"]
+        return _predict(state.params, state.batch_stats, sb["pixel_values"])
 
     thresholds = find_optimal_threshold(predict_fn, val_loader, class_names,
                                         output_dir=args.output_dir)

@@ -100,7 +100,19 @@ def train_vae(args):
                                       "triplet_loss", "kl_loss"))
     if getattr(args, "resume_from", None):
         state = restore_train_state(state, args.resume_from)
-        print(f"resumed from {args.resume_from} at step {int(state.step)}")
+        resume_step = int(jax.device_get(state.step))
+        print(f"resumed from {args.resume_from} at step {resume_step}")
+        # extend the LR schedule horizon: the restored optimizer count
+        # continues past a fresh run's total_steps, which would pin the
+        # default cosine/linear schedules at their fully-decayed (~0) tail
+        # for the whole resumed run
+        schedule = build_lr_schedule(args.lr_scheduler_type,
+                                     args.learning_rate,
+                                     args.lr_warmup_steps,
+                                     resume_step + total_steps)
+        state = state.replace(tx=build_optimizer(
+            schedule, args.weight_decay, args.max_grad_norm,
+            getattr(args, "gradient_accumulation_steps", 1)))
     state = loop.run(state, lr_schedule=schedule)
     loop.save_history(args.output_dir)
     print("VAE training complete")
