@@ -144,3 +144,8 @@ def test_train_decoder_resume(workspace):
     state2 = train_decoder(args2)
     # resumed from the saved step, then trained one more epoch
     assert int(jax.device_get(state2.step)) > first_steps
+    # regression: the resumed run must not sit at the schedule's decayed
+    # tail (the trainer extends the horizon past the restored count)
+    hist = json.loads((root / "dec_resume_out2" /
+                       "training_history.json").read_text())
+    assert hist["learning_rates"][-1] > 1e-7, hist["learning_rates"]

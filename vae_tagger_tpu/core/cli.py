@@ -87,7 +87,7 @@ def add_train_args(p: argparse.ArgumentParser, default_lr: float = 1e-4):
                    "steps to <output_dir>/profile (TPU extension)")
     p.add_argument("--remat", action="store_true",
                    help="gradient checkpointing on the VAE blocks (TPU "
-                   "extension): O(stage) activation memory for ~30% extra "
+                   "extension): O(stage) activation memory for ~30%% extra "
                    "forward FLOPs — enables 1024px training at larger batch")
 
 
