@@ -150,8 +150,9 @@ def main():
     cb = class_balanced_weights(RNG.integers(1, 100, 1000))
     lcfg = LossConfig(use_focal_loss=True, use_class_balanced=True)
     tx = build_optimizer(optax.constant_schedule(1e-3), 1e-6, 1.0, 1)
-    state = TrainState.create(dv["params"], tx,
-                              batch_stats=dv.get("batch_stats"))
+    fresh = lambda t: jax.tree.map(jnp.array, t)  # steps donate their state
+    state = TrainState.create(fresh(dv["params"]), tx,
+                              batch_stats=fresh(dv.get("batch_stats")))
     train_step, _ = make_decoder_steps(vae, decoder, lcfg, cb,
                                        compute_dtype=jnp.bfloat16)
     batch = {
@@ -179,9 +180,9 @@ def main():
 
         vae_r = AutoencoderKL(default_flux_vae_config(),
                               dtype=jnp.bfloat16, remat=True)
-        params = {"vae": vp, "decoder": dv["params"]}
+        params = {"vae": fresh(vp), "decoder": fresh(dv["params"])}
         state = TrainState.create(params, tx,
-                                  batch_stats=dv.get("batch_stats"))
+                                  batch_stats=fresh(dv.get("batch_stats")))
         full_step, _ = make_full_steps(
             vae_r, decoder, LossConfig(use_focal_loss=True),
             use_simplified=True, compute_dtype=jnp.bfloat16,
