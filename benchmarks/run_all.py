@@ -126,7 +126,8 @@ def main():
     # 3. bucketed batch tagging: representative bucket shapes
     bucket_results = {}
     total_imgs, total_time = 0, 0.0
-    for (w, h, bs) in [(512, 512, 8), (768, 576, 4), (1024, 1024, 4)]:
+    # batch 8: TPU packs batch into sublanes; batch 4 runs ~3x worse/pixel
+    for (w, h, bs) in [(512, 512, 8), (768, 576, 8), (1024, 1024, 8)]:
         dt = _sustained(forward,
                         lambda: RNG.integers(0, 256, (bs, h, w, 3),
                                              dtype=np.uint8), reps=4)
@@ -205,6 +206,11 @@ def main():
         print("5.", results["train_full_1024px_batch1_remat"])
 
     out = os.path.join(os.path.dirname(__file__), "report.json")
+    if os.path.exists(out):  # merge (e.g. keep a prior --full entry)
+        with open(out) as f:
+            prior = json.load(f)
+        prior.update(results)
+        results = prior
     with open(out, "w") as f:
         json.dump(results, f, indent=2)
     print(f"report written to {out}")
