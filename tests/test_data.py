@@ -72,11 +72,13 @@ def test_dataset_items(fixture_dataset):
         resolution=64, seed=0)
     assert len(ds) == 16
     item = ds[0]
-    assert item["pixel_values"].shape == (64, 64, 3)
-    assert item["pixel_values"].dtype == np.uint8
+    # triplet mode ships the anchor once (no duplicate pixel_values copy);
+    # classification mode (return_triplets=False) provides pixel_values
+    assert "pixel_values" not in item
     assert item["labels"].shape == (info["num_tags"],)
     for key in ("anchor", "positive", "negative"):
         assert item[key].shape == (64, 64, 3)
+        assert item[key].dtype == np.uint8
     # positives share at least one tag unless fallback to anchor
     assert (item["labels"] * item["positive_labels"]).sum() > 0
     # class distribution matches the label matrix

@@ -199,10 +199,14 @@ class TaggedImageDataset:
         anchor_img = self._load(idx)
         anchor_labels = self.labels_matrix[idx]
         item = {
-            "pixel_values": anchor_img,
             "labels": anchor_labels,
             "index": idx,
         }
+        if not self.return_triplets:
+            # classification mode: the image travels as pixel_values
+            # (in triplet mode it travels once, as "anchor" — the reference
+            # ships the same image twice, modules.py:640-648)
+            item["pixel_values"] = anchor_img
         if self.return_triplets:
             pos_idx, neg_idx = self._mine_triplet(idx)
             item.update({

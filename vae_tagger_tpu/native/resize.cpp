@@ -161,20 +161,4 @@ int vt_smart_resize(const uint8_t* src, int src_h, int src_w,
   return 0;
 }
 
-// Batch API: resize `count` images (all same source geometry not required —
-// srcs/sizes are per-image) into a contiguous (count, dst_h, dst_w, 3)
-// buffer.  Intended for the loader's collation path.
-int vt_smart_resize_batch(const uint8_t** srcs, const int* src_hs,
-                          const int* src_ws, uint8_t* dst_batch,
-                          int count, int dst_h, int dst_w, int crop_mode) {
-  const size_t stride = static_cast<size_t>(dst_h) * dst_w * 3;
-  for (int i = 0; i < count; ++i) {
-    const int rc = vt_smart_resize(srcs[i], src_hs[i], src_ws[i],
-                                   dst_batch + i * stride, dst_h, dst_w,
-                                   crop_mode, 0, 0);
-    if (rc != 0) return rc;
-  }
-  return 0;
-}
-
 }  // extern "C"

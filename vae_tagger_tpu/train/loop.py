@@ -78,6 +78,10 @@ class EpochLoop:
         self.on_periodic = on_periodic
         self.log_metric_keys = log_metric_keys
         self.mesh = make_mesh()
+        # optax.MultiSteps advances the inner schedule only every k-th
+        # micro-batch; log the LR the optimizer actually uses
+        self.grad_accum = max(1, getattr(args, "gradient_accumulation_steps",
+                                         1) or 1)
         self.history = {"train_loss": [], "val_loss": [], "learning_rates": []}
         self.best_val_loss = float("inf")
 
@@ -126,7 +130,7 @@ class EpochLoop:
             train_losses = []
             pending = []  # (step, metrics) — read one step late (no sync)
             images_seen = 0
-            for step, (batch, _) in enumerate(
+            for step, (batch, n_real) in enumerate(
                     self._prefetched(self.train_loader)):
                 if profile_range and global_step == profile_range[0]:
                     jax.profiler.start_trace(
@@ -140,7 +144,7 @@ class EpochLoop:
                     profile_range = None
                     print(f"profiler trace written to "
                           f"{args.output_dir}/profile")
-                images_seen += int(batch["labels"].shape[0])
+                images_seen += n_real  # pads are duplicate rows
                 pending.append((step, metrics))
                 if len(pending) > 1:
                     self._drain(pending.pop(0), train_losses, epoch,
@@ -164,7 +168,8 @@ class EpochLoop:
             avg_train = float(np.mean(train_losses)) if train_losses else 0.0
             avg_val = (float(np.average(val_losses, weights=val_weights))
                        if val_losses and sum(val_weights) else 0.0)
-            lr = (float(lr_schedule(global_step)) if lr_schedule else 0.0)
+            lr = (float(lr_schedule(global_step // self.grad_accum))
+                  if lr_schedule else 0.0)
             self.history["train_loss"].append(avg_train)
             self.history["val_loss"].append(avg_val)
             self.history["learning_rates"].append(lr)
@@ -207,7 +212,8 @@ class EpochLoop:
                 if k in host:
                     parts.append(f"{k}: {host[k]:.4f}")
             if lr_schedule is not None:
-                parts.append(f"LR: {float(lr_schedule(global_step)):.2e}")
+                lr = float(lr_schedule(global_step // self.grad_accum))
+                parts.append(f"LR: {lr:.2e}")
             print(", ".join(parts))
 
     def save_history(self, output_dir: str):

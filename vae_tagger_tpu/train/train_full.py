@@ -197,7 +197,8 @@ def train_full(args):
         return jax.nn.sigmoid(logits.astype(jnp.float32))
 
     def predict_fn(batch):
-        sb = shard_batch(batch, mesh)
+        pixels = batch.get("pixel_values", batch["anchor"])
+        sb = shard_batch({"pixel_values": pixels}, mesh)  # only what's used
         return _predict(state.params, state.batch_stats, sb["pixel_values"])
 
     thresholds = find_optimal_threshold(predict_fn, val_loader, class_names,
