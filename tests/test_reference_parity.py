@@ -214,6 +214,6 @@ def test_reference_generated_dataset_consumed(tmp_path):
                             resolution=64, seed=0)
     assert len(ds) == 8
     item = ds[0]
-    assert item["pixel_values"].shape == (64, 64, 3)
+    assert item["anchor"].shape == (64, 64, 3)
     assert item["labels"].sum() > 0  # weighted tags parsed
     assert (ds.labels_matrix > 0).any(axis=1).all()  # every image has tags
