@@ -149,3 +149,22 @@ def test_train_decoder_resume(workspace):
     hist = json.loads((root / "dec_resume_out2" /
                        "training_history.json").read_text())
     assert hist["learning_rates"][-1] > 1e-7, hist["learning_rates"]
+
+
+def test_train_decoder_no_attention_and_bf16(workspace):
+    """The plain MLP head (--no_attention) trains end-to-end, in bf16."""
+    from vae_tagger_tpu.train.train_decoder import train_decoder
+
+    root, ds, vae_dir = workspace
+    args = _base_args(root, ds, vae_dir, "dec_plain_out",
+                      use_attention=False, mixed_precision="bf16")
+    train_decoder(args)
+    out = root / "dec_plain_out"
+    assert (out / "best_pytorch_model.bin").exists()
+    # the exported state dict has the plain-decoder layout (no attention keys)
+    import torch as _torch
+
+    sd = _torch.load(str(out / "best_pytorch_model.bin"),
+                     map_location="cpu", weights_only=True)
+    assert any(k.startswith("classifier.") for k in sd)
+    assert not any("spatial_attention" in k for k in sd)
