@@ -117,7 +117,9 @@ class TaggedImageDataset:
 
     def class_distribution(self) -> np.ndarray:
         """Positive-image count per tag (improved_losses.py:341-348)."""
-        return self._presence.sum(axis=0).astype(np.float64)
+        from ..losses.combined import compute_class_distribution
+
+        return compute_class_distribution(self.labels_matrix)
 
     def set_epoch(self, epoch: int) -> None:
         """Vary triplet sampling across epochs (torch DataLoader-style).
@@ -183,9 +185,13 @@ class TaggedImageDataset:
         return positive_idx, negative_idx
 
     # -- loading -------------------------------------------------------------
-    def _load(self, idx: int) -> np.ndarray:
+    def _load(self, idx: int, bucket_idx: Optional[int] = None) -> np.ndarray:
+        """Load image ``idx``; when ``bucket_idx`` is given, resize into THAT
+        sample's bucket (triplet members share the anchor's bucket so one
+        batch is a single static shape — the reference loads each member in
+        its own bucket, which breaks collation for batch > 1)."""
         path = self.image_paths[idx]
-        bucket = self.bucket_of(idx)
+        bucket = self.bucket_of(bucket_idx if bucket_idx is not None else idx)
         try:
             return load_and_transform_image(
                 path, resolution=self.resolution, bucket=bucket)
@@ -212,25 +218,10 @@ class TaggedImageDataset:
             item.update({
                 "anchor": anchor_img,
                 "positive": (anchor_img if pos_idx == idx
-                             else self._load_same_shape(pos_idx, idx)),
+                             else self._load(pos_idx, bucket_idx=idx)),
                 "negative": (anchor_img if neg_idx == idx
-                             else self._load_same_shape(neg_idx, idx)),
+                             else self._load(neg_idx, bucket_idx=idx)),
                 "positive_labels": self.labels_matrix[pos_idx],
                 "negative_labels": self.labels_matrix[neg_idx],
             })
         return item
-
-    def _load_same_shape(self, idx: int, anchor_idx: int) -> np.ndarray:
-        """Load ``idx`` resized to the *anchor's* bucket so a triplet batch
-        is one static shape (the reference loads each image in its own
-        bucket, which breaks collation for batch>1 — a real gap we fix)."""
-        bucket = self.bucket_of(anchor_idx)
-        path = self.image_paths[idx]
-        try:
-            return load_and_transform_image(
-                path, resolution=self.resolution, bucket=bucket)
-        except Exception as e:
-            print(f"warning: could not load image {path}: {e}")
-            if bucket is not None:
-                return dummy_image(bucket[0], bucket[1])
-            return dummy_image(self.resolution or 512, self.resolution or 512)

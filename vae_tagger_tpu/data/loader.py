@@ -60,8 +60,13 @@ class BucketBatchSampler:
             for start in range(0, len(order), self.batch_size):
                 chunk = order[start:start + self.batch_size]
                 mask = [True] * len(chunk)
+                # deterministic wrap-around padding: random padding would
+                # re-roll every epoch and add pure noise to the epoch val
+                # loss used for best-checkpoint selection
+                fill = 0
                 while len(chunk) < self.batch_size:
-                    chunk.append(self._rng.choice(group))
+                    chunk.append(order[fill % len(order)])
+                    fill += 1
                     mask.append(False)
                 batches.append((chunk, mask))
         if self.shuffle:

@@ -40,7 +40,7 @@ class MultiLabelEvaluator:
         if probabilities is not None:
             self.all_probabilities.append(np.asarray(probabilities))
 
-    def compute_metrics(self, threshold: float = 0.5) -> Dict:
+    def compute_metrics(self) -> Dict:
         if not self.all_targets:
             raise ValueError("update() was never called")
         # binarize weighted labels (tag:0.8 etc.): sklearn's classification

@@ -51,7 +51,7 @@ def evaluate_model(predict_fn: Callable, loader, class_names: List[str],
     y_prob, y_true = _collect(predict_fn, loader)
     y_pred = (y_prob > threshold).astype(np.float32)
     evaluator.update(y_pred, y_true, y_prob)
-    metrics = evaluator.compute_metrics(threshold)
+    metrics = evaluator.compute_metrics()
     evaluator.print_metrics(metrics)
     if output_dir:
         os.makedirs(output_dir, exist_ok=True)

@@ -10,14 +10,14 @@ device-sized batches instead of one image at a time.
 from __future__ import annotations
 
 import json
-import time
 from pathlib import Path
-from typing import List, Optional
+from typing import List
 
 import numpy as np
 
 from ..data.bucketing import load_and_transform_image
 from ..data.paths import get_image_paths
+from ..utils.profiling import ThroughputMeter
 from .engine import TaggerEngine
 
 
@@ -56,7 +56,7 @@ def infer_and_classify(engine: TaggerEngine, image_path: str,
 
     results = {}
     processed, errors = 0, 0
-    t0 = time.perf_counter()
+    meter = ThroughputMeter()
 
     # decode on host (square resize, like the reference's inference
     # transform — bucketing is a training-time feature, infer_full.py:79)
@@ -77,6 +77,7 @@ def infer_and_classify(engine: TaggerEngine, image_path: str,
             results[str(path)] = _format_results(engine.tag_names, p,
                                                  confidence_threshold)
         processed += n
+        meter.update(n)
         batch_imgs.clear()
         batch_paths.clear()
 
@@ -97,11 +98,9 @@ def infer_and_classify(engine: TaggerEngine, image_path: str,
                       f"({errors} errors skipped)")
     flush()
 
-    dt = time.perf_counter() - t0
     if verbose:
         print(f"done — ok: {processed}, failed: {errors}, "
-              f"total: {len(image_paths)}, "
-              f"{processed / max(dt, 1e-9):.2f} images/sec")
+              f"total: {len(image_paths)}, {meter.report()}")
 
     output_path = Path(output_dir) / output_name
     output_path.parent.mkdir(parents=True, exist_ok=True)

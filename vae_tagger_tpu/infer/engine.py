@@ -52,6 +52,8 @@ def load_vae_bundle(vae_checkpoint: Optional[str] = None,
                     require_checkpoint: bool = False,
                     resolution: Optional[int] = None,
                     remat: bool = False,
+                    use_quant_conv: bool = False,
+                    use_post_quant_conv: bool = False,
                     ) -> Tuple[AutoencoderKL, dict]:
     """Reference loading precedence (infer_full.py:16-26, train_full.py:40-53):
     config JSON if given, else the hardcoded FLUX config; weights from the
@@ -63,6 +65,11 @@ def load_vae_bundle(vae_checkpoint: Optional[str] = None,
         config = default_flux_vae_config()
         if resolution is not None:
             config = dataclasses.replace(config, sample_size=resolution)
+    if use_quant_conv or use_post_quant_conv:
+        # reaches AutoencoderKL's NotImplementedError guard instead of
+        # silently building a no-quant-conv model for an SD-style checkpoint
+        config = dataclasses.replace(config, use_quant_conv=use_quant_conv,
+                                     use_post_quant_conv=use_post_quant_conv)
 
     model = AutoencoderKL(config, dtype=policy.compute_dtype,
                           param_dtype=policy.param_dtype, remat=remat)

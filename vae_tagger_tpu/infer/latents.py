@@ -9,7 +9,6 @@ Batched on device instead of per-image.
 from __future__ import annotations
 
 import json
-import time
 from pathlib import Path
 from typing import List
 
@@ -17,6 +16,7 @@ import numpy as np
 
 from ..data.bucketing import load_and_transform_image
 from ..data.paths import get_image_paths
+from ..utils.profiling import ThroughputMeter
 from .engine import TaggerEngine, load_vae_bundle
 
 
@@ -38,7 +38,7 @@ def infer_and_save_latents(engine, image_path: str,
 
     latent_data = {}
     processed, errors = 0, 0
-    t0 = time.perf_counter()
+    meter = ThroughputMeter()
     batch_imgs: List[np.ndarray] = []
     batch_paths: List[str] = []
 
@@ -56,6 +56,7 @@ def infer_and_save_latents(engine, image_path: str,
             latent_data[str(path)] = flatten_latent_torch_order(
                 np.asarray(z, np.float32)).tolist()
         processed += n
+        meter.update(n)
         batch_imgs.clear()
         batch_paths.clear()
 
@@ -73,11 +74,9 @@ def infer_and_save_latents(engine, image_path: str,
             flush()
     flush()
 
-    dt = time.perf_counter() - t0
     if verbose:
         print(f"done — ok: {processed}, failed: {errors}, "
-              f"total: {len(image_paths)}, "
-              f"{processed / max(dt, 1e-9):.2f} images/sec")
+              f"total: {len(image_paths)}, {meter.report()}")
 
     output_path = Path(output_dir) / "latent_vectors.json"
     output_path.parent.mkdir(parents=True, exist_ok=True)

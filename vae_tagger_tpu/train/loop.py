@@ -145,14 +145,13 @@ class EpochLoop:
                     print(f"profiler trace written to "
                           f"{args.output_dir}/profile")
                 images_seen += n_real  # pads are duplicate rows
-                pending.append((step, metrics))
+                pending.append((step, global_step, metrics))
                 if len(pending) > 1:
                     self._drain(pending.pop(0), train_losses, epoch,
-                                lr_schedule, global_step)
+                                lr_schedule)
                 global_step += 1
             for item in pending:
-                self._drain(item, train_losses, epoch, lr_schedule,
-                            global_step)
+                self._drain(item, train_losses, epoch, lr_schedule)
 
             # batch losses weighted by real (non-padded) row counts so the
             # sampler's fixed-shape padding doesn't skew best-model selection
@@ -198,8 +197,8 @@ class EpochLoop:
                   f"(run shorter than --profile_steps)")
         return state
 
-    def _drain(self, item, train_losses, epoch, lr_schedule, global_step):
-        step, metrics = item
+    def _drain(self, item, train_losses, epoch, lr_schedule):
+        step, item_global_step, metrics = item
         # one transfer for the whole dict (each device_get is a host
         # round trip; this backend's dispatch RTT makes per-leaf gets
         # expensive)
@@ -212,7 +211,7 @@ class EpochLoop:
                 if k in host:
                     parts.append(f"{k}: {host[k]:.4f}")
             if lr_schedule is not None:
-                lr = float(lr_schedule(global_step // self.grad_accum))
+                lr = float(lr_schedule(item_global_step // self.grad_accum))
                 parts.append(f"LR: {lr:.2e}")
             print(", ".join(parts))
 

@@ -51,7 +51,9 @@ def train_decoder(args):
 
     vae, vae_params = load_vae_bundle(
         args.vae_checkpoint, args.vae_config_path, policy=policy,
-        require_checkpoint=True)
+        require_checkpoint=True,
+        use_quant_conv=getattr(args, "use_quant_conv", False),
+        use_post_quant_conv=getattr(args, "use_post_quant_conv", False))
     print(f"VAE latent info: {get_vae_latent_info(args.resolution, vae.config.latent_channels, vae.config.downsample_factor)}")
 
     dataset, train_loader, val_loader = build_dataset_and_loaders(

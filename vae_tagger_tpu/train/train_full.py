@@ -47,7 +47,9 @@ def train_full(args):
     vae, vae_params = load_vae_bundle(
         args.vae_checkpoint, args.vae_config_path, policy=policy,
         require_checkpoint=False, resolution=args.resolution,
-        remat=getattr(args, "remat", False))
+        remat=getattr(args, "remat", False),
+        use_quant_conv=getattr(args, "use_quant_conv", False),
+        use_post_quant_conv=getattr(args, "use_post_quant_conv", False))
     print(f"VAE latent info: "
           f"{get_vae_latent_info(args.resolution, vae.config.latent_channels, vae.config.downsample_factor)}")
 

@@ -37,7 +37,9 @@ def train_vae(args):
     vae, vae_params = load_vae_bundle(
         args.vae_checkpoint, args.vae_config_path, policy=policy,
         require_checkpoint=False, resolution=args.resolution,
-        remat=getattr(args, "remat", False))
+        remat=getattr(args, "remat", False),
+        use_quant_conv=getattr(args, "use_quant_conv", False),
+        use_post_quant_conv=getattr(args, "use_post_quant_conv", False))
 
     dataset, train_loader, val_loader = build_dataset_and_loaders(
         args, return_triplets=True)

@@ -1,8 +1,11 @@
 """Profiling and throughput helpers.
 
-The reference has no tracing/profiling at all (SURVEY.md §5) — only progress
-prints.  Here: jax.profiler trace capture (viewable in TensorBoard/Perfetto)
-plus a simple images/sec meter used by the loops and benchmarks.
+The reference has no tracing/profiling at all (SURVEY.md §5).  Here:
+- :func:`trace` — a convenience jax.profiler capture context for ad-hoc
+  investigation (training loops have their own ``--profile_steps`` capture,
+  train/loop.py);
+- :class:`ThroughputMeter` — the images/sec meter used by the inference
+  loops (infer/classify.py, infer/latents.py).
 """
 
 from __future__ import annotations
