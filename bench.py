@@ -18,11 +18,11 @@ implies N*4.88/197 of v5e bf16 peak — the reported figure corresponds to
 ~75% MXU utilization; per-dispatch timing agrees within noise.
 
 vs_baseline: ratio against a reference-equivalent PyTorch fp32 CPU stack
-(tests/torch_oracle VAE + attention head, single image): 0.0226 images/sec
-@1024px on this host — measured at 256px (2.76 s/image), scaled by the 16x
-pixel/FLOP ratio.  (The PyTorch reference itself cannot run here: diffusers
-is not installed.  Our JAX CPU path measures 0.0260 img/s — same ballpark.)
-The driver-set north star is >=5x CPU.
+(tests/torch_oracle VAE + attention head, single image) measured DIRECTLY at
+1024px on this host: 68.1 s/image = 0.01468 images/sec.  (The PyTorch
+reference itself cannot run here: diffusers is not installed.  Cross-checks:
+256px torch measures 0.36 img/s, our JAX CPU path 0.026 img/s scaled — all
+the same ballpark.)  The driver-set north star is >=5x CPU.
 """
 
 from __future__ import annotations
@@ -37,7 +37,7 @@ import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
-CPU_BASELINE_IPS = 0.0226  # torch fp32 CPU images/sec @1024px (see above)
+CPU_BASELINE_IPS = 0.01468  # torch fp32 CPU img/s @1024px, measured (see above)
 RESOLUTION = 1024
 BATCH = 8
 NUM_CLASSES = 1000
