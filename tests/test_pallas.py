@@ -122,3 +122,26 @@ def test_backend_dispatch():
         assert backend.use_pallas()
     with backend.backend("xla"):
         assert not backend.use_pallas()
+
+
+@pytest.mark.parametrize("dtype,tol", [(jnp.float32, 2e-5), (jnp.bfloat16, 3e-2)])
+def test_groupnorm_silu_chunked_matches_reference(dtype, tol):
+    """Grid-chunked two-phase GN kernel (covers samples too large for VMEM,
+    e.g. the 1024px mid/out GN sites) vs the XLA reference."""
+    from vae_tagger_tpu.ops.normalization import group_norm
+    from vae_tagger_tpu.ops.pallas.groupnorm_silu import (
+        group_norm_silu_chunked_pallas,
+    )
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(2, 16, 16, 128)), dtype)
+    scale = jnp.asarray(rng.normal(size=(128,)) * 0.2 + 1.0, jnp.float32)
+    bias = jnp.asarray(rng.normal(size=(128,)) * 0.1, jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        out = group_norm_silu_chunked_pallas(x, scale, bias, num_groups=32,
+                                             tile=64)
+    y = group_norm(x, scale, bias, num_groups=32, eps=1e-6)
+    ref = y * jax.nn.sigmoid(y.astype(jnp.float32)).astype(y.dtype)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=tol, atol=tol)

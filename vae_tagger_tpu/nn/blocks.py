@@ -17,8 +17,10 @@ Layout notes:
 from __future__ import annotations
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
+from ..ops.conv import gn_silu_conv3x3
 from ..ops.normalization import group_norm_silu
 from ..ops.attention import spatial_single_head_attention
 
@@ -29,7 +31,9 @@ class GroupNorm(nn.Module):
     ``with_silu=True`` fuses the following SiLU into the norm — on TPU this
     dispatches to the single-HBM-pass Pallas kernel
     (ops/pallas/groupnorm_silu.py); parameters and naming are unchanged, so
-    checkpoints are unaffected.
+    checkpoints are unaffected.  ``return_params=True`` hands the raw affine
+    params to the caller instead of applying the norm (used by the fused
+    GN+SiLU+conv path in ResnetBlock).
     """
 
     num_groups: int = 32
@@ -38,12 +42,46 @@ class GroupNorm(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, *, return_params: bool = False):
         c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,), self.param_dtype)
         bias = self.param("bias", nn.initializers.zeros, (c,), self.param_dtype)
+        if return_params:
+            return scale, bias
         return group_norm_silu(x, scale, bias, num_groups=self.num_groups,
                                eps=self.eps, apply_silu=self.with_silu)
+
+
+class Conv2D(nn.Module):
+    """NHWC conv with nn.Conv-compatible params ("kernel" HWIO, "bias").
+
+    Exists so the fused ResnetBlock path can read the raw weights
+    (``return_weights=True``) while the unfused path applies the identical
+    convolution — checkpoints are interchangeable with nn.Conv.
+    """
+
+    features: int
+    kernel_size: tuple = (3, 3)
+    strides: tuple = (1, 1)
+    padding: str = "SAME"
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, return_weights: bool = False):
+        c_in = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (*self.kernel_size, c_in, self.features),
+                            self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), self.param_dtype)
+        if return_weights:
+            return kernel, bias
+        out = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), kernel.astype(self.dtype),
+            self.strides, self.padding,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return out + bias.astype(self.dtype)
 
 
 def _conv(features, kernel, name, dtype, param_dtype, strides=(1, 1), padding="SAME"):
@@ -58,8 +96,34 @@ def _conv(features, kernel, name, dtype, param_dtype, strides=(1, 1), padding="S
     )
 
 
+def _fused_resnet_plan(x_shape, out_channels, itemsize):
+    """(plan1, plan2) for the two GN+conv pairs, or None to run unfused.
+
+    Both pairs must qualify — mixing fused/unfused within a block would
+    still materialize the intermediate it is trying to avoid.
+    """
+    from ..ops import backend
+    from ..ops.pallas.conv_fused import plan_fused_conv
+
+    if not backend.use_pallas():
+        return None
+    n, h, w, c_in = x_shape
+    p1 = plan_fused_conv(h, w, c_in, out_channels, None, itemsize)
+    p2 = plan_fused_conv(h, w, out_channels, out_channels, c_in, itemsize)
+    if p1 is None or p2 is None:
+        return None
+    return p1, p2
+
+
 class ResnetBlock(nn.Module):
-    """GroupNorm -> SiLU -> Conv3x3, twice, plus (1x1-projected) residual."""
+    """GroupNorm -> SiLU -> Conv3x3, twice, plus (1x1-projected) residual.
+
+    On TPU at admissible shapes the two GN+SiLU+conv pairs (and the residual
+    add / 1x1 shortcut) run as fused Pallas kernels (ops/pallas/conv_fused.py)
+    — the north-star fusion replacing the reference's cuDNN conv stacks
+    (``/root/reference/diffusers_vae_loader.py:8-35``).  Parameter trees are
+    identical in both paths.
+    """
 
     out_channels: int
     num_groups: int = 32
@@ -69,15 +133,44 @@ class ResnetBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         in_channels = x.shape[-1]
-        h = GroupNorm(self.num_groups, with_silu=True, name="norm1",
-                      param_dtype=self.param_dtype)(x)
-        h = _conv(self.out_channels, (3, 3), "conv1", self.dtype, self.param_dtype)(h)
-        h = GroupNorm(self.num_groups, with_silu=True, name="norm2",
-                      param_dtype=self.param_dtype)(h)
-        h = _conv(self.out_channels, (3, 3), "conv2", self.dtype, self.param_dtype)(h)
+        norm1 = GroupNorm(self.num_groups, with_silu=True, name="norm1",
+                          param_dtype=self.param_dtype)
+        conv1 = Conv2D(self.out_channels, (3, 3), name="conv1",
+                       dtype=self.dtype, param_dtype=self.param_dtype)
+        norm2 = GroupNorm(self.num_groups, with_silu=True, name="norm2",
+                          param_dtype=self.param_dtype)
+        conv2 = Conv2D(self.out_channels, (3, 3), name="conv2",
+                       dtype=self.dtype, param_dtype=self.param_dtype)
+        shortcut = None
         if in_channels != self.out_channels:
-            x = _conv(self.out_channels, (1, 1), "conv_shortcut",
-                      self.dtype, self.param_dtype)(x)
+            shortcut = Conv2D(self.out_channels, (1, 1), name="conv_shortcut",
+                              dtype=self.dtype, param_dtype=self.param_dtype)
+
+        if _fused_resnet_plan(x.shape, self.out_channels,
+                              jnp.dtype(self.dtype).itemsize) is not None:
+            s1, b1 = norm1(x, return_params=True)
+            k1, cb1 = conv1(x, return_weights=True)
+            s2, b2 = norm2(jnp.zeros((1, 1, 1, self.out_channels), x.dtype),
+                           return_params=True)
+            k2, cb2 = conv2(jnp.zeros((1, 1, 1, self.out_channels), x.dtype),
+                            return_weights=True)
+            xc = x.astype(self.dtype)
+            h = gn_silu_conv3x3(xc, s1, b1, k1, cb1,
+                                num_groups=self.num_groups)
+            if shortcut is not None:
+                sck, scb = shortcut(x, return_weights=True)
+                return gn_silu_conv3x3(h, s2, b2, k2, cb2, residual=xc,
+                                       shortcut_kernel=sck, shortcut_bias=scb,
+                                       num_groups=self.num_groups)
+            return gn_silu_conv3x3(h, s2, b2, k2, cb2, residual=xc,
+                                   num_groups=self.num_groups)
+
+        h = norm1(x)
+        h = conv1(h)
+        h = norm2(h)
+        h = conv2(h)
+        if shortcut is not None:
+            x = shortcut(x)
         return x + h
 
 

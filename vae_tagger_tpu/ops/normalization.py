@@ -58,7 +58,9 @@ def _make_group_norm_silu(num_groups: int, eps: float, apply_silu: bool):
         n, h, w, c = x.shape
         if backend.use_pallas():
             from .pallas.groupnorm_silu import (
+                _chunk_tile,
                 fits_in_vmem,
+                group_norm_silu_chunked_pallas,
                 group_norm_silu_pallas,
             )
 
@@ -66,6 +68,14 @@ def _make_group_norm_silu(num_groups: int, eps: float, apply_silu: bool):
                 return group_norm_silu_pallas(
                     x, scale, bias, num_groups=num_groups, eps=eps,
                     apply_silu=apply_silu)
+            # sample exceeds VMEM (1024px mid/out GN sites): grid-chunked
+            # two-phase kernel (lane-aligned channels only)
+            tile = _chunk_tile(h * w, c, x.dtype.itemsize) if c % 128 == 0 \
+                else 0
+            if tile:
+                return group_norm_silu_chunked_pallas(
+                    x, scale, bias, num_groups=num_groups, tile=tile,
+                    eps=eps, apply_silu=apply_silu)
         return reference(x, scale, bias)
 
     @jax.custom_vjp
