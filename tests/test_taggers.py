@@ -117,3 +117,38 @@ def test_decoder_bin_interchange(tmp_path):
         a = oracle(torch.from_numpy(z).permute(0, 3, 1, 2)).numpy()
         b = oracle2(torch.from_numpy(z).permute(0, 3, 1, 2)).numpy()
     np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
+def test_get_attention_maps_real():
+    """get_attention_maps returns the sown CBAM gates and MHSA weights
+    (the reference's method is an empty stub, modules.py:477-485)."""
+    from vae_tagger_tpu.models.taggers import get_attention_maps
+
+    _, model, params, state = _attention_pair()
+    batch_stats = {}
+    from vae_tagger_tpu.io.safetensors_io import _torch_key_to_flax_path
+    for k, v in state.items():
+        if k.endswith("running_mean") or k.endswith("running_var"):
+            merged = k.replace(".running_mean", ".mean").replace(
+                ".running_var", ".var")
+            path, leaf = _torch_key_to_flax_path(merged)
+            node = batch_stats
+            for p in path:
+                node = node.setdefault(p, {})
+            node[leaf] = np.asarray(v)
+
+    rng = np.random.default_rng(2)
+    z = jnp.asarray(rng.normal(size=(2, 8, 8, C)), jnp.float32)
+    maps = get_attention_maps(
+        model, {"params": params, "batch_stats": batch_stats}, z)
+    assert maps["channel_attention"].shape == (2, 1, 1, C)
+    assert maps["spatial_attention"].shape == (2, 8, 8, 1)
+    # MHSA runs over the 8x8=64 pooled tokens with 8 heads
+    assert maps["self_attention"].shape == (2, 8, 64, 64)
+    # gates are sigmoids, weights are softmax rows
+    for k in ("channel_attention", "spatial_attention"):
+        v = np.asarray(maps[k])
+        assert (v >= 0).all() and (v <= 1).all()
+    np.testing.assert_allclose(
+        np.asarray(maps["self_attention"]).sum(-1), 1.0, rtol=1e-5)
+    assert "cross_attention" not in maps  # branch disabled by default

@@ -59,12 +59,14 @@ class SpatialAttention(nn.Module):
         avg_out = ca_2(nn.relu(ca_0(avg_desc)))
         max_out = ca_2(nn.relu(ca_0(max_desc)))
         channel_att = nn.sigmoid(avg_out + max_out)
+        self.sow("intermediates", "channel_attention", channel_att)
         x = x * channel_att
 
         avg_spatial = jnp.mean(x, axis=-1, keepdims=True)
         max_spatial = jnp.max(x, axis=-1, keepdims=True)
         spatial = jnp.concatenate([avg_spatial, max_spatial], axis=-1)
         spatial_att = nn.sigmoid(conv(1, (7, 7), "spatial_att_0")(spatial))
+        self.sow("intermediates", "spatial_attention", spatial_att)
         return x * spatial_att
 
 
@@ -99,6 +101,7 @@ class MultiHeadSelfAttention(nn.Module):
         v = heads(dense("v_proj")(y))
         scores = jnp.einsum("bnqd,bnkd->bnqk", q, k) / (head_dim ** 0.5)
         weights = nn.softmax(scores.astype(jnp.float32), axis=-1).astype(self.dtype)
+        self.sow("intermediates", "attention_weights", weights)
         weights = nn.Dropout(self.dropout, name="attn_dropout")(
             weights, deterministic=deterministic)
         out = jnp.einsum("bnqk,bnkd->bnqd", weights, v)
@@ -132,6 +135,7 @@ class CrossAttention(nn.Module):
             b, -1, self.num_heads, head_dim).transpose(0, 2, 1, 3)
         scores = jnp.einsum("bnqd,bnkd->bnqk", q, k) / (head_dim ** 0.5)
         weights = nn.softmax(scores.astype(jnp.float32), axis=-1).astype(self.dtype)
+        self.sow("intermediates", "attention_weights", weights)
         out = jnp.einsum("bnqk,bnkd->bnqd", weights, v)
         out = out.transpose(0, 2, 1, 3).reshape(b, self.embed_dim)
         return dense(qd, "out_proj")(out) + query
@@ -245,14 +249,34 @@ class AttentionClassificationDecoder(nn.Module):
 
 
 def get_attention_maps(decoder, variables, latents) -> dict:
-    """Attention-map extraction for visualization.
+    """Extract attention maps for visualization (one eval forward).
 
-    API-parity stub: the reference's method is also an empty stub
-    (``modules.py:477-485`` returns ``{}``).  Returns an empty dict; a real
-    implementation would capture the CBAM gates and MHSA weights via
-    ``nn.Module.sow``.
+    Improves on the reference, whose method is an empty stub
+    (``/root/reference/modules.py:477-485``): the modules ``sow`` their
+    attention tensors into the ``intermediates`` collection, and this runs
+    one deterministic forward with that collection mutable.
+
+    Returns a flat dict (missing keys when the head disables a branch):
+      channel_attention: (B, 1, 1, C)   CBAM channel gate (sigmoid)
+      spatial_attention: (B, H, W, 1)   CBAM spatial gate (sigmoid)
+      self_attention:    (B, heads, S, S) MHSA softmax weights (pre-dropout)
+      cross_attention:   (B, heads, 1, S) cross-attention weights
     """
-    return {}
+    _, inters = decoder.apply(variables, latents, deterministic=True,
+                              mutable=["intermediates"])
+    tree = inters.get("intermediates", {})
+    maps = {}
+    renames = {
+        ("spatial_attention", "channel_attention"): "channel_attention",
+        ("spatial_attention", "spatial_attention"): "spatial_attention",
+        ("self_attention_post", "attention_weights"): "self_attention",
+        ("cross_attention", "attention_weights"): "cross_attention",
+    }
+    for (module, leaf), name in renames.items():
+        value = tree.get(module, {}).get(leaf)
+        if value is not None:
+            maps[name] = value[0]  # sow stores a 1-tuple per call site
+    return maps
 
 
 def create_attention_decoder(latent_channels: int, num_classes: int,
