@@ -208,3 +208,20 @@ def test_corrupt_image_yields_dummy(tmp_path):
     item = ds[0]
     assert item["pixel_values"].shape[2] == 3
     assert item["pixel_values"].sum() == 0  # black dummy
+
+
+def test_sampler_pad_multiple(fixture_dataset):
+    """pad_multiple rounds every batch up to the sublane multiple, padding
+    from the batch's own chunk (gradient-neutral for exact multiples)."""
+    out, _ = fixture_dataset
+    ds = TaggedImageDataset(
+        json_path=f"{out}/data.json", tags_csv_path=f"{out}/tags.csv",
+        resolution=64, return_triplets=False, seed=0)
+    sampler = BucketBatchSampler(ds, batch_size=4, shuffle=False,
+                                 pad_multiple=8)
+    assert sampler.device_batch_size == 8
+    for indices, mask in sampler:
+        assert len(indices) == 8 and len(mask) == 8
+        assert mask[:4] == [True] * 4 and mask[4:] == [False] * 4
+        # pads duplicate the chunk's own rows in order
+        assert indices[4:] == indices[:4]

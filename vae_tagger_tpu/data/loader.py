@@ -33,9 +33,19 @@ class BucketBatchSampler:
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
                  seed: Optional[int] = 0,
-                 indices: Optional[Sequence[int]] = None):
+                 indices: Optional[Sequence[int]] = None,
+                 pad_multiple: Optional[int] = None):
         self.dataset = dataset
         self.batch_size = batch_size
+        # device batch = batch_size rounded up to pad_multiple (TPU sublane
+        # packing: sub-8 batches run ~3x worse per pixel on v5e).  Each step
+        # still consumes batch_size REAL samples; the pad rows are wrapped
+        # duplicates of the batch's own chunk, so for exact multiples the
+        # padded batch mean equals the unpadded one (gradient-neutral).
+        if pad_multiple:
+            self.device_batch_size = -(-batch_size // pad_multiple) * pad_multiple
+        else:
+            self.device_batch_size = batch_size
         self.shuffle = shuffle
         self._rng = random.Random(seed)
         self.indices = list(indices) if indices is not None else list(
@@ -51,7 +61,7 @@ class BucketBatchSampler:
                    for g in self.bucket_groups.values())
 
     def __iter__(self) -> Iterator[tuple]:
-        """Yields (indices, mask) with len(indices) == batch_size always."""
+        """Yields (indices, mask) with len(indices) == device_batch_size."""
         batches = []
         for group in self.bucket_groups.values():
             order = list(group)
@@ -59,13 +69,17 @@ class BucketBatchSampler:
                 self._rng.shuffle(order)
             for start in range(0, len(order), self.batch_size):
                 chunk = order[start:start + self.batch_size]
-                mask = [True] * len(chunk)
-                # deterministic wrap-around padding: random padding would
+                real = len(chunk)
+                mask = [True] * real
+                # deterministic wrap-around padding FROM THE CHUNK ITSELF:
+                # duplicating the batch's own rows keeps the padded batch
+                # mean equal to the real mean when the pad count is a
+                # multiple of the real count, and random padding would
                 # re-roll every epoch and add pure noise to the epoch val
                 # loss used for best-checkpoint selection
                 fill = 0
-                while len(chunk) < self.batch_size:
-                    chunk.append(order[fill % len(order)])
+                while len(chunk) < self.device_batch_size:
+                    chunk.append(chunk[fill % real])
                     fill += 1
                     mask.append(False)
                 batches.append((chunk, mask))
@@ -102,7 +116,8 @@ class DataLoader:
                  num_workers: int = 4, prefetch_factor: int = 2,
                  seed: Optional[int] = 0,
                  indices: Optional[Sequence[int]] = None,
-                 process_index: int = 0, process_count: int = 1):
+                 process_index: int = 0, process_count: int = 1,
+                 pad_multiple: Optional[int] = None):
         if batch_size % max(1, process_count):
             raise ValueError(
                 f"process_count {process_count} must divide the global "
@@ -110,7 +125,13 @@ class DataLoader:
         self.dataset = dataset
         self.batch_size = batch_size
         self.sampler = BucketBatchSampler(dataset, batch_size, shuffle,
-                                          seed=seed, indices=indices)
+                                          seed=seed, indices=indices,
+                                          pad_multiple=pad_multiple)
+        if self.sampler.device_batch_size % max(1, process_count):
+            raise ValueError(
+                f"padded device batch {self.sampler.device_batch_size} not "
+                f"divisible by process_count {process_count}; adjust "
+                f"batch_size or pad_multiple")
         self.num_workers = max(1, num_workers)
         self.prefetch = max(1, prefetch_factor)
         self.process_index = process_index

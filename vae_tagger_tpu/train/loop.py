@@ -41,8 +41,15 @@ def build_dataset_and_loaders(args, return_triplets: bool):
     # each process loads only its slice of every global batch (loader.py) —
     # equal batch counts and matching shapes across hosts by construction.
     global_batch = args.train_batch_size * jax.device_count()
+    # Transparent sub-8 padding: TPU packs the batch dimension into 8-wide
+    # sublanes and off-multiple batches measured ~3x lower throughput per
+    # pixel on v5e (the reference's presets train at bs 2-4,
+    # train_decoder.sh).  The sampler pads each batch from its own chunk and
+    # masks the pads, so training consumes the same real samples per step.
+    pad_multiple = 8 if jax.default_backend() == "tpu" else None
     proc_kw = dict(process_index=jax.process_index(),
-                   process_count=jax.process_count())
+                   process_count=jax.process_count(),
+                   pad_multiple=pad_multiple)
     train_loader = DataLoader(dataset, global_batch, shuffle=True,
                               num_workers=args.num_workers,
                               prefetch_factor=args.prefetch_factor,
@@ -51,14 +58,12 @@ def build_dataset_and_loaders(args, return_triplets: bool):
                             num_workers=max(1, args.num_workers // 2),
                             prefetch_factor=args.prefetch_factor,
                             seed=args.seed, indices=val_idx, **proc_kw)
+    device_batch = train_loader.sampler.device_batch_size
     print(f"train size: {len(train_idx)}, val size: {len(val_idx)}, "
-          f"global batch: {global_batch} "
-          f"({jax.device_count()} devices, {jax.process_count()} processes)")
-    if global_batch % 8:
-        print(f"hint: per-device batch {args.train_batch_size} is not a "
-              f"multiple of 8 — TPU packs the batch dimension into 8-wide "
-              f"sublanes, and off-multiple batches measured ~3x lower "
-              f"throughput per pixel on v5e")
+          f"global batch: {global_batch}"
+          + (f" (padded to {device_batch} for sublane packing)"
+             if device_batch != global_batch else "")
+          + f" ({jax.device_count()} devices, {jax.process_count()} processes)")
     return dataset, train_loader, val_loader
 
 
@@ -145,7 +150,7 @@ class EpochLoop:
                     print(f"profiler trace written to "
                           f"{args.output_dir}/profile")
                 images_seen += n_real  # pads are duplicate rows
-                pending.append((step, global_step, metrics))
+                pending.append((step, global_step, metrics, n_real))
                 if len(pending) > 1:
                     self._drain(pending.pop(0), train_losses, epoch,
                                 lr_schedule)
@@ -164,7 +169,12 @@ class EpochLoop:
                 val_losses.append(float(jax.device_get(metrics["loss"])))
                 val_weights.append(max(n_real, 0))
 
-            avg_train = float(np.mean(train_losses)) if train_losses else 0.0
+            # epoch train loss weighted by real rows, consistent with the
+            # val aggregation below (padded tail batches carry duplicates)
+            avg_train = (float(np.average([l for l, _ in train_losses],
+                                          weights=[w for _, w in train_losses]))
+                         if train_losses and sum(w for _, w in train_losses)
+                         else 0.0)
             avg_val = (float(np.average(val_losses, weights=val_weights))
                        if val_losses and sum(val_weights) else 0.0)
             lr = (float(lr_schedule(global_step // self.grad_accum))
@@ -198,13 +208,13 @@ class EpochLoop:
         return state
 
     def _drain(self, item, train_losses, epoch, lr_schedule):
-        step, item_global_step, metrics = item
+        step, item_global_step, metrics, n_real = item
         # one transfer for the whole dict (each device_get is a host
         # round trip; this backend's dispatch RTT makes per-leaf gets
         # expensive)
         host_all = jax.device_get(metrics)
         host = {k: float(v) for k, v in host_all.items() if np.ndim(v) == 0}
-        train_losses.append(host.get("loss", 0.0))
+        train_losses.append((host.get("loss", 0.0), max(n_real, 0)))
         if is_main_process() and step % self.args.logging_steps == 0:
             parts = [f"Epoch: {epoch}", f"Step: {step}"]
             for k in self.log_metric_keys:
