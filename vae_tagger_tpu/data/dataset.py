@@ -16,7 +16,6 @@ TPU-first differences from the reference:
 from __future__ import annotations
 
 import json
-import random
 from pathlib import Path
 from typing import Dict, List, Optional, Tuple
 
@@ -139,23 +138,22 @@ class TaggedImageDataset:
     # -- triplet mining (modules.py:599-686 policy) -------------------------
     def _mine_triplet(self, anchor_idx: int) -> Tuple[int, int]:
         # per-(seed, epoch, anchor) rng: deterministic regardless of loader
-        # thread scheduling, fresh triplets every epoch
-        # hash of an int tuple is deterministic (PYTHONHASHSEED only salts
-        # str/bytes); random.Random itself rejects tuple seeds
-        rng = random.Random(hash((self._seed, self.epoch, anchor_idx)))
+        # thread scheduling, fresh triplets every epoch.  hash of an int
+        # tuple is deterministic (PYTHONHASHSEED only salts str/bytes).
+        rng = np.random.default_rng(
+            hash((self._seed, self.epoch, anchor_idx)) & 0xFFFFFFFFFFFFFFFF)
         n = len(self.image_paths)
         anchor_tag_count = float(self.labels_matrix[anchor_idx].sum())
 
         k = min(self.max_candidates, max(0, n - 1))
         if k <= 0:
             return anchor_idx, anchor_idx
-        candidates = set()
-        while len(candidates) < k:
-            j = rng.randrange(n)
-            if j != anchor_idx:
-                candidates.add(j)
-        candidates = list(candidates)
-        cand_arr = np.fromiter(candidates, dtype=np.int64)
+        # O(k) candidate draw without replacement over [0, n) \ {anchor}:
+        # sample from n-1 slots and shift past the anchor (the reference's
+        # per-sample rejection loop is O(k) python iterations per __getitem__
+        # — measurable on a 1-core host at real dataset sizes)
+        cand_arr = rng.choice(n - 1, size=k, replace=False).astype(np.int64)
+        cand_arr += cand_arr >= anchor_idx
         overlaps = (self.labels_matrix[cand_arr]
                     * self.labels_matrix[anchor_idx]).sum(axis=1)
         positives = cand_arr[overlaps > 0]
@@ -168,18 +166,17 @@ class TaggedImageDataset:
             if positives.size > 1 and rng.random() < 0.7:
                 positive_idx = int(positives[int(np.argmax(pos_overlaps))])
             else:
-                positive_idx = int(rng.choice(list(positives)))
+                positive_idx = int(rng.choice(positives))
         elif positives.size:
-            positive_idx = int(rng.choice(list(positives)))
+            positive_idx = int(rng.choice(positives))
         else:
             positive_idx = anchor_idx  # rare tag combination: use anchor
 
         if negatives.size:
-            negative_idx = int(rng.choice(list(negatives)))
+            negative_idx = int(rng.choice(negatives))
         elif n > 1:
-            negative_idx = anchor_idx
-            while negative_idx == anchor_idx:
-                negative_idx = rng.randrange(n)
+            negative_idx = int(rng.integers(n - 1))
+            negative_idx += negative_idx >= anchor_idx
         else:
             negative_idx = anchor_idx
         return positive_idx, negative_idx

@@ -1,4 +1,9 @@
 from .metrics import MultiLabelEvaluator
-from .threshold import evaluate_model, find_optimal_threshold
+from .threshold import (
+    collect_predictions,
+    evaluate_model,
+    find_optimal_threshold,
+)
 
-__all__ = ["MultiLabelEvaluator", "evaluate_model", "find_optimal_threshold"]
+__all__ = ["MultiLabelEvaluator", "collect_predictions", "evaluate_model",
+           "find_optimal_threshold"]

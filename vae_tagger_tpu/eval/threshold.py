@@ -22,6 +22,16 @@ import numpy as np
 from .metrics import MultiLabelEvaluator
 
 
+def collect_predictions(predict_fn: Callable, loader) -> tuple:
+    """One full inference pass -> (y_prob, y_true), padding dropped.
+
+    Pass the result as ``collected=`` to both find_optimal_threshold and
+    evaluate_model: the reference runs a separate val pass for each
+    (evaluation.py:209-222 then 173-200, called back-to-back by every
+    trainer) — one pass suffices."""
+    return _collect(predict_fn, loader)
+
+
 def _collect(predict_fn: Callable, loader) -> tuple:
     from ..parallel.mesh import gather_to_host
 
@@ -46,9 +56,11 @@ def _collect(predict_fn: Callable, loader) -> tuple:
 
 def evaluate_model(predict_fn: Callable, loader, class_names: List[str],
                    threshold: float = 0.5,
-                   output_dir: Optional[str] = None) -> Dict:
+                   output_dir: Optional[str] = None,
+                   collected: Optional[tuple] = None) -> Dict:
     evaluator = MultiLabelEvaluator(class_names)
-    y_prob, y_true = _collect(predict_fn, loader)
+    y_prob, y_true = (collected if collected is not None
+                      else _collect(predict_fn, loader))
     y_pred = (y_prob > threshold).astype(np.float32)
     evaluator.update(y_pred, y_true, y_prob)
     metrics = evaluator.compute_metrics()
@@ -62,12 +74,14 @@ def evaluate_model(predict_fn: Callable, loader, class_names: List[str],
 
 def find_optimal_threshold(predict_fn: Callable, loader,
                            class_names: List[str],
-                           output_dir: Optional[str] = None) -> Dict:
+                           output_dir: Optional[str] = None,
+                           collected: Optional[tuple] = None) -> Dict:
     """Sweep thresholds 0.1..0.9 step 0.05: per-class best-F1 threshold and
     a global best-macro-F1 threshold; writes ``optimal_thresholds.json``."""
     from sklearn.metrics import f1_score
 
-    y_prob, y_true = _collect(predict_fn, loader)
+    y_prob, y_true = (collected if collected is not None
+                      else _collect(predict_fn, loader))
     thresholds = np.arange(0.1, 0.9, 0.05)
 
     optimal: Dict[str, Dict] = {}

@@ -17,7 +17,11 @@ import numpy as np
 from ..core.cli import resolve_attention_flags
 from ..core.precision import resolve_mixed_precision
 from ..data.loader import DataLoader
-from ..eval import evaluate_model, find_optimal_threshold
+from ..eval import (
+    collect_predictions,
+    evaluate_model,
+    find_optimal_threshold,
+)
 from ..infer.engine import build_decoder, load_vae_bundle
 from ..io.orbax_io import restore_train_state, save_train_state
 from ..io.torch_bin import load_decoder_params, save_decoder_bin
@@ -157,10 +161,14 @@ def train_decoder(args):
         sb = shard_batch(batch, mesh)
         return eval_step(state, vae_params, sb)["probs"]
 
+    # ONE val inference pass shared by threshold search and final eval
+    # (the reference runs two back-to-back, evaluation.py:209-222 + 173-200)
+    collected = collect_predictions(predict_fn, val_loader)
     thresholds = find_optimal_threshold(predict_fn, val_loader, class_names,
-                                        output_dir=args.output_dir)
+                                        output_dir=args.output_dir,
+                                        collected=collected)
     evaluate_model(predict_fn, val_loader, class_names,
                    threshold=thresholds["global_threshold"],
-                   output_dir=args.output_dir)
+                   output_dir=args.output_dir, collected=collected)
     print("training and evaluation complete")
     return state
