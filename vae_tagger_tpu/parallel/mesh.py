@@ -102,10 +102,21 @@ def initialize_distributed():
     jax.distributed is the SPMD equivalent."""
     import os
 
-    if not (os.environ.get("JAX_COORDINATOR_ADDRESS")
-            or os.environ.get("COORDINATOR_ADDRESS")):
+    addr = (os.environ.get("JAX_COORDINATOR_ADDRESS")
+            or os.environ.get("COORDINATOR_ADDRESS"))
+    if not addr:
         return
+    # pass explicit args when the launcher provides them — this JAX version's
+    # no-arg autodetect does not read JAX_NUM_PROCESSES/JAX_PROCESS_ID
+    # (verified by tests/test_distributed.py)
+    num = os.environ.get("JAX_NUM_PROCESSES")
+    pid = os.environ.get("JAX_PROCESS_ID")
     try:
-        jax.distributed.initialize()
+        if num is not None and pid is not None:
+            jax.distributed.initialize(coordinator_address=addr,
+                                       num_processes=int(num),
+                                       process_id=int(pid))
+        else:
+            jax.distributed.initialize()  # platform autodetect (TPU pods)
     except Exception as e:
         print(f"jax.distributed.initialize skipped: {e}")
