@@ -86,11 +86,20 @@ def main():
         0, 256, size=(REPS, BATCH, RESOLUTION, RESOLUTION, 3),
         dtype=np.uint8))
 
+    # machine-checked roofline fields: XLA cost analysis of ONE forward
+    # (standard convention: one multiply-add counts as 2 flops)
+    cost = (jax.jit(forward)
+            .lower(vae_params, dec_vars, buf[0]).compile().cost_analysis())
+    tflops_per_image = float(cost.get("flops", 0.0)) / BATCH / 1e12
+
     jax.device_get(chained(vae_params, dec_vars, buf))  # warm
     t0 = time.perf_counter()
     jax.device_get(chained(vae_params, dec_vars, buf))
     sustained_dt = (time.perf_counter() - t0) / REPS
     sustained_ips = BATCH / sustained_dt
+
+    V5E_BF16_PEAK_TFLOPS = 197.0
+    mfu = sustained_ips * tflops_per_image / V5E_BF16_PEAK_TFLOPS
 
     print(json.dumps({
         "metric": ("images/sec/chip VAE encode+tag @1024px bf16 batch8, "
@@ -98,6 +107,8 @@ def main():
         "value": round(sustained_ips, 1),
         "unit": "images/sec/chip",
         "vs_baseline": round(sustained_ips / CPU_BASELINE_IPS, 1),
+        "tflops_per_image": round(tflops_per_image, 2),
+        "mfu": round(mfu, 3),
     }))
 
 
