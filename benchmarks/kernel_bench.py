@@ -54,13 +54,18 @@ def _time(fn, args, reps):
 def bench_shape(h, w, c_in, c_out, with_res, batch, reps, tile_h=None):
     rng = np.random.default_rng(0)
     dt = jnp.bfloat16
-    xs = jnp.asarray(rng.normal(size=(reps, batch, h, w, c_in)), dt)
+    # activations are generated ON DEVICE: the large stages are multi-GiB
+    # and host->device transfer through this harness's relay takes minutes
+    xs = jax.jit(lambda key: jax.random.normal(
+        key, (reps, batch, h, w, c_in), dt))(jax.random.key(0))
     gs = jnp.asarray(rng.normal(size=(c_in,)) * 0.2 + 1, jnp.float32)
     gb = jnp.asarray(rng.normal(size=(c_in,)) * 0.1, jnp.float32)
     k = jnp.asarray(rng.normal(size=(3, 3, c_in, c_out)) * 0.05, dt)
     b = jnp.asarray(rng.normal(size=(c_out,)) * 0.1, jnp.float32)
-    res = (jnp.asarray(rng.normal(size=(batch, h, w, c_out)), dt)
+    res = (jax.jit(lambda key: jax.random.normal(
+        key, (batch, h, w, c_out), dt))(jax.random.key(1))
            if with_res else None)
+    jax.device_get(jnp.sum(xs[0, 0, 0, 0]))  # sync generation
 
     fused_variant = _make_fused(GROUPS, 1e-6, with_res, False)
     ref = fused_variant.reference
@@ -118,9 +123,13 @@ def main():
     p.add_argument("--batch", type=int, default=2)
     p.add_argument("--reps", type=int, default=4)
     p.add_argument("--tile_h", type=int, default=0)
+    p.add_argument("--stage", type=int, default=-1,
+                   help="run only STAGES[i] (compiles through the relay are "
+                        "slow; one stage per process keeps runs bounded)")
     args = p.parse_args()
+    stages = STAGES if args.stage < 0 else [STAGES[args.stage]]
     rows = []
-    for (h, w, ci, co, res) in STAGES:
+    for (h, w, ci, co, res) in stages:
         r = bench_shape(h, w, ci, co, res, args.batch, args.reps,
                         tile_h=args.tile_h or None)
         if r:
