@@ -5,8 +5,10 @@ Measures sustained img/s with individual Pallas kernels selectively disabled
 (flash attention stays on in all configs — a full-XLA S=16384 attention would
 materialize an (8,16384,16384) fp32 score tensor and OOM the chip):
 
-  full         — dispatch as shipped (fused conv + GN kernels + flash attn)
-  no_fused_conv— ResnetBlocks run unfused (XLA GN/SiLU/conv) [round-1 config]
+  default      — dispatch as shipped (per-op auto policy, ops/backend.py)
+  full         — ALL Pallas kernels forced on (backend "pallas")
+  no_fused_conv— all kernels on except fused conv [chunked GN exposed]
+  round1       — XLA convs + whole-sample GN + flash attn [round-1 config]
   no_chunked_gn— fused conv on; oversize GN sites fall back to XLA
   no_gn_kernels— fused conv on; ALL standalone GN sites to XLA
 
@@ -80,8 +82,13 @@ class _patch:
 
 
 def ablation_patches(config):
+    from vae_tagger_tpu.ops import backend
     from vae_tagger_tpu.ops.pallas import conv_fused, groupnorm_silu
 
+    if config == "default":
+        return []
+    # every other config starts from "all kernels on" and patches some out
+    backend.set_backend("pallas")
     if config == "full":
         return []
     if config == "no_fused_conv":
@@ -110,8 +117,11 @@ def ablation_patches(config):
 
 
 def measure(config):
+    from vae_tagger_tpu.ops import backend
+
     forward, vae_params, dec_vars = build_forward()
 
+    prev_backend = backend.get_backend()
     patches = ablation_patches(config)
     for p in patches:
         p.__enter__()
@@ -134,6 +144,7 @@ def measure(config):
     finally:
         for p in reversed(patches):
             p.__exit__()
+        backend.set_backend(prev_backend)
     return {"config": config, "ms_per_batch": round(dt * 1e3, 1),
             "images_per_sec": round(BATCH / dt, 1)}
 

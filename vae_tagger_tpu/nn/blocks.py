@@ -105,7 +105,7 @@ def _fused_resnet_plan(x_shape, out_channels, itemsize):
     from ..ops import backend
     from ..ops.pallas.conv_fused import plan_fused_conv
 
-    if not backend.use_pallas():
+    if not backend.use_pallas("conv_fused"):
         return None
     n, h, w, c_in = x_shape
     p1 = plan_fused_conv(h, w, c_in, out_channels, None, itemsize)

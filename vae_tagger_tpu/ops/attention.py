@@ -35,7 +35,7 @@ def spatial_single_head_attention(q, k, v):
     is long enough to benefit; otherwise uses the XLA path.
     """
     s = q.shape[1]
-    if backend.use_pallas() and s >= 1024:
+    if backend.use_pallas("flash_attention") and s >= 1024:
         from .pallas.flash_attention import flash_attention
 
         return flash_attention(q, k, v)

@@ -30,17 +30,36 @@ def get_backend() -> str:
     return _BACKEND
 
 
-def use_pallas() -> bool:
-    """True when Pallas kernels should be dispatched."""
-    if _BACKEND == "pallas":
-        return True
+# Per-op "auto" policy, set from in-context measurements on the v5e
+# (benchmarks/ablate.py, benchmarks/stage0_probe.py, docs/PERF.md): flash
+# attention and the whole-sample GN+SiLU kernel win or tie; the fused
+# GN+SiLU+conv kernel and the grid-chunked GN kernel measured *slower* than
+# XLA's in-context conv/two-pass-GN at every stage shape, so "auto" leaves
+# them off — backend "pallas" forces every kernel on.
+_AUTO_POLICY = {
+    "flash_attention": True,
+    "groupnorm_silu": True,
+    "groupnorm_silu_chunked": False,
+    "conv_fused": False,
+}
+
+
+def use_pallas(op: str | None = None) -> bool:
+    """True when the Pallas kernel for ``op`` should be dispatched.
+
+    ``op=None`` asks whether Pallas is available at all (TPU + not forced
+    off); named ops additionally consult the measured auto policy above.
+    """
     if _BACKEND == "xla":
         return False
-    # auto: pallas only on real TPU backends
+    on_tpu = False
     try:
-        return jax.default_backend() == "tpu"
+        on_tpu = jax.default_backend() == "tpu"
     except Exception:
-        return False
+        pass
+    if _BACKEND == "pallas":
+        return True
+    return on_tpu and (op is None or _AUTO_POLICY.get(op, False))
 
 
 @contextlib.contextmanager

@@ -76,7 +76,7 @@ def _make_fused(num_groups: int, eps: float, has_res: bool, has_sc: bool):
 
         n, h, w, c_in = x.shape
         c_out = kernel.shape[-1]
-        if backend.use_pallas():
+        if backend.use_pallas("conv_fused"):
             from .pallas.conv_fused import (
                 gn_silu_conv3x3_pallas,
                 plan_fused_conv,

@@ -56,7 +56,7 @@ def _make_group_norm_silu(num_groups: int, eps: float, apply_silu: bool):
         from . import backend
 
         n, h, w, c = x.shape
-        if backend.use_pallas():
+        if backend.use_pallas("groupnorm_silu"):
             from .pallas.groupnorm_silu import (
                 _chunk_tile,
                 fits_in_vmem,
@@ -69,9 +69,13 @@ def _make_group_norm_silu(num_groups: int, eps: float, apply_silu: bool):
                     x, scale, bias, num_groups=num_groups, eps=eps,
                     apply_silu=apply_silu)
             # sample exceeds VMEM (1024px mid/out GN sites): grid-chunked
-            # two-phase kernel (lane-aligned channels only)
-            tile = _chunk_tile(h * w, c, x.dtype.itemsize) if c % 128 == 0 \
-                else 0
+            # two-phase kernel — measured SLOWER than XLA's two passes in
+            # context (benchmarks/ablate.py no_fused_conv: 21.9 vs 30.2
+            # img/s), so auto policy leaves it off; backend "pallas" forces
+            # it (lane-aligned channels only)
+            tile = (_chunk_tile(h * w, c, x.dtype.itemsize)
+                    if c % 128 == 0
+                    and backend.use_pallas("groupnorm_silu_chunked") else 0)
             if tile:
                 return group_norm_silu_chunked_pallas(
                     x, scale, bias, num_groups=num_groups, tile=tile,

@@ -13,16 +13,30 @@ fused read, conv write) and folding the residual add (and the 1x1
 conv_shortcut projection) into the conv epilogue — which removes the
 separate residual read+write as well.
 
-Decomposition: a 3x3 SAME conv over an NHWC tile is 9 shifted
-``(TH*W, Cin) @ (Cin, Cout)`` matmuls accumulated in fp32 on the MXU.
+Decomposition (v2 — two other variants measured slower in context on the
+chip, see benchmarks/ablate.py and benchmarks/stage0_probe.py: v1 built 9
+W-shifted input patches per output tile and was VPU/relayout-bound; a v3
+im2col variant staged a ``(TH*W, 9*Cin)`` patch for one full-depth matmul,
+but the patch-building copies cost more than the MXU-depth gain):
 
-Grid: ``(N, H/TH, Cout/TC)``, Cout innermost so the x tile (whose index map
-ignores the Cout coordinate) stays resident in VMEM across Cout tiles.
-Halo rows for the 3x3 vertical taps are delivered as two extra size-1-row
-block inputs with clamped index maps (rows i*TH-1 and (i+1)*TH); the kernel
-zeroes them at the image borders, which implements SAME zero-padding in H.
-W is never tiled (full rows live in VMEM), so SAME padding in W is an
-in-VMEM zero pad of the activated tile.
+- The activated tile lives in a bf16 VMEM *scratch* of shape
+  ``(TH+2, W, Cin)`` — computed ONCE per x-block (``@pl.when(j == 0)``, with
+  Cout innermost in the grid) so the GN-affine + SiLU VPU pass is not
+  re-run per Cout tile.
+- A 3x3 SAME conv is 9 matmuls ``act[dy:dy+TH] @ W[dy,dx]``.  Row (dy)
+  shifts are plain aligned slices of the scratch (halo rows included).
+  Column (dx) shifts are applied to the *outputs*: with
+  ``A_dx = sum_dy act[dy:dy+TH] @ W[dy,dx]`` (no input shift at all),
+  ``out[:, x] = A_0[:, x-1] + A_1[:, x] + A_2[:, x+1]`` — two
+  ``pltpu.roll`` ops on the W (sublane) axis of the fp32 accumulators plus
+  edge-column masks, which also implements SAME zero-padding in W.  No
+  per-tap patch materialization, no unaligned slices.
+
+Grid: ``(N, H/TH, Cout/TC)``, Cout innermost so the x tile and the activated
+scratch stay resident across Cout tiles.  Halo rows for the 3x3 vertical
+taps are delivered as two extra size-1-row block inputs with clamped index
+maps (rows i*TH-1 and (i+1)*TH); the kernel zeroes them (post-activation) at
+the image borders, which implements SAME zero-padding in H.
 
 GroupNorm statistics are computed *outside* (one XLA pass over x, fp32) and
 enter as per-(sample, channel) effective scale/bias:
@@ -41,8 +55,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _LANE = 128
-# Scoped VMEM is ~16MB; leave slack for Mosaic temporaries and semaphores.
-_VMEM_BUDGET = 13 * 1024 * 1024
+# Mosaic's default VMEM limit is conservative; the chip has more.  We ask
+# for an explicit higher limit (vmem_limit_bytes below) and budget under it
+# with slack for Mosaic temporaries and semaphores.
+_VMEM_BUDGET = 24 * 1024 * 1024
+_VMEM_LIMIT = 30 * 1024 * 1024
 
 
 def _plan_bytes(th, w, c_in, tc, c_res, itemsize):
@@ -55,10 +72,9 @@ def _plan_bytes(th, w, c_in, tc, c_res, itemsize):
         io += 2 * th * w * c_res * itemsize  # residual, double buffered
         if c_res != tc:
             weights += 2 * c_res * tc * itemsize   # shortcut projection
-    temps = 2 * (th + 2) * (w + 2) * c_in * itemsize  # activated tile + pad
-    temps += th * w * 4 * tc                 # fp32 accumulator
-    temps += th * w * c_in * itemsize        # shifted patch materialization
-    return io + weights + temps
+    scratch = (th + 2) * w * c_in * itemsize       # activated tile
+    temps = 3 * th * w * 4 * tc              # fp32 acc + per-dx A + roll temp
+    return io + weights + scratch + temps
 
 
 def plan_fused_conv(h, w, c_in, c_out, c_res, itemsize):
@@ -86,48 +102,69 @@ def plan_fused_conv(h, w, c_in, c_out, c_res, itemsize):
 def _kernel(refs, *, th, w, c_in, tc, has_res, has_sc, c_res):
     if has_sc:
         (x_top, x_body, x_bot, scale_ref, bias_ref, w_ref, cb_ref,
-         res_ref, sck_ref, scb_ref, o_ref) = refs
+         res_ref, sck_ref, scb_ref, o_ref, act_ref) = refs
     elif has_res:
         (x_top, x_body, x_bot, scale_ref, bias_ref, w_ref, cb_ref,
-         res_ref, o_ref) = refs
+         res_ref, o_ref, act_ref) = refs
     else:
         (x_top, x_body, x_bot, scale_ref, bias_ref, w_ref, cb_ref,
-         o_ref) = refs
+         o_ref, act_ref) = refs
 
     i = pl.program_id(1)
     n_h = pl.num_programs(1)
-    cdt = x_body.dtype
+    j = pl.program_id(2)
+    cdt = act_ref.dtype
 
-    # assemble (TH+2, W, Cin): halo rows above/below the body tile
-    xf = jnp.concatenate([x_top[0], x_body[0], x_bot[0]],
-                         axis=0).astype(jnp.float32)
+    # Activated tile -> scratch, once per x-block (j is innermost; the same
+    # x/halo blocks stay resident across Cout tiles and so does the scratch).
+    @pl.when(j == 0)
+    def _():
+        scale = scale_ref[0]                    # (1, Cin) fp32
+        bias = bias_ref[0]
 
-    # GN prologue: per-(sample, channel) effective affine, then SiLU
-    y = xf * scale_ref[0] + bias_ref[0]  # (1, 1, C) blocks broadcast
-    y = y * jax.nn.sigmoid(y)
-    # SAME zero-padding in H applies to the *activated* tensor: zero the
-    # halo rows at the image borders (silu(eff_bias) != 0).
-    row = jax.lax.broadcasted_iota(jnp.int32, (th + 2, 1, 1), 0)
-    border = ((row == 0) & (i == 0)) | ((row == th + 1) & (i == n_h - 1))
-    y = jnp.where(border, 0.0, y).astype(cdt)
-    yp = jnp.pad(y, ((0, 0), (1, 1), (0, 0)))          # SAME zero pad in W
+        def act(v):
+            y = v.astype(jnp.float32) * scale + bias
+            return (y * jax.nn.sigmoid(y)).astype(cdt)
 
-    # conv bias starts the fp32 accumulator
-    acc = jnp.broadcast_to(cb_ref[:].astype(jnp.float32), (th * w, tc))
-    for tap in range(9):
-        dy, dx = divmod(tap, 3)
-        patch = yp[dy:dy + th, dx:dx + w, :].reshape(th * w, c_in)
-        acc = acc + jnp.dot(patch, w_ref[tap * c_in:(tap + 1) * c_in, :],
-                            preferred_element_type=jnp.float32)
+        # SAME zero-padding in H applies to the *activated* tensor
+        # (silu(eff_bias) != 0): zero halo rows at the image borders.
+        top = act(x_top[0])
+        act_ref[0:1] = jnp.where(i == 0, jnp.zeros_like(top), top)
+        act_ref[1:th + 1] = act(x_body[0])
+        bot = act(x_bot[0])
+        act_ref[th + 1:th + 2] = jnp.where(i == n_h - 1,
+                                           jnp.zeros_like(bot), bot)
+
+    # A_dx = sum_dy act[dy:dy+TH] @ W[dy,dx]  — aligned slices, no copies.
+    # Column shifts move to the outputs: out[:, x] += A_0[:, x-1] (roll +1,
+    # wrap column masked = SAME W pad), A_1[:, x], A_2[:, x+1] (roll -1).
+    # (Mosaic only rotates 32-bit data, so rolling the fp32 accumulators is
+    # also the only in-kernel option for bf16 activations.)
+    def tap_sum(dx):
+        a = jnp.zeros((th * w, tc), jnp.float32)
+        for dy in range(3):
+            rows = act_ref[dy:dy + th].reshape(th * w, c_in)
+            a = a + jnp.dot(
+                rows, w_ref[dy * c_in:(dy + 1) * c_in, dx, :],
+                preferred_element_type=jnp.float32)
+        return a.reshape(th, w, tc)
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, w, 1), 1)
+    a0 = pltpu.roll(tap_sum(0), 1, axis=1)
+    acc = jnp.where(col == 0, 0.0, a0)
+    acc = acc + tap_sum(1)
+    a2 = pltpu.roll(tap_sum(2), w - 1, axis=1)  # roll by -1 (shift >= 0 only)
+    acc = acc + jnp.where(col == w - 1, 0.0, a2)
+    acc = acc + cb_ref[:].astype(jnp.float32)   # (1, TC) broadcasts
 
     if has_sc:
         r = res_ref[0].reshape(th * w, c_res).astype(cdt)
-        acc = acc + jnp.dot(r, sck_ref[:], preferred_element_type=jnp.float32)
-        acc = acc + scb_ref[:].astype(jnp.float32)
+        p = jnp.dot(r, sck_ref[:], preferred_element_type=jnp.float32)
+        acc = acc + p.reshape(th, w, tc) + scb_ref[:].astype(jnp.float32)
     elif has_res:
-        acc = acc + res_ref[0].reshape(th * w, tc).astype(jnp.float32)
+        acc = acc + res_ref[0].astype(jnp.float32)
 
-    o_ref[0] = acc.reshape(th, w, tc).astype(o_ref.dtype)
+    o_ref[0] = acc.astype(o_ref.dtype)
 
 
 @functools.partial(
@@ -157,8 +194,10 @@ def gn_silu_conv3x3_pallas(x, eff_scale, eff_bias, kernel, bias,
     c_res = residual.shape[-1] if has_res else None
 
     grid = (n, h // th, c_out // tc)
-    # 3x3 taps flattened tap-major: w2d[tap*Cin:(tap+1)*Cin] == kernel[dy,dx]
-    w2d = kernel.astype(x.dtype).reshape(9 * c_in, c_out)
+    # weights as (3*Cin, 3, Cout): w3d[dy*Cin + ci, dx, co] = kernel[dy,dx,ci,co]
+    # — the one-matmul kernel contracts (3*Cin) and emits (3, TC) per block
+    w3d = kernel.astype(x.dtype).transpose(0, 2, 1, 3).reshape(
+        3 * c_in, 3, c_out)
 
     x_body_spec = pl.BlockSpec((1, th, w, c_in),
                                lambda b, i, j: (b, i, 0, 0),
@@ -181,14 +220,14 @@ def gn_silu_conv3x3_pallas(x, eff_scale, eff_bias, kernel, bias,
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, c_in), lambda b, i, j: (b, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((9 * c_in, tc), lambda b, i, j: (0, j),
+        pl.BlockSpec((3 * c_in, 3, tc), lambda b, i, j: (0, 0, j),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, tc), lambda b, i, j: (0, j),
                      memory_space=pltpu.VMEM),
     ]
     args = [x, x, x,
             eff_scale.astype(jnp.float32).reshape(n, 1, c_in),
-            eff_bias.astype(jnp.float32).reshape(n, 1, c_in), w2d,
+            eff_bias.astype(jnp.float32).reshape(n, 1, c_in), w3d,
             bias.astype(jnp.float32).reshape(1, c_out)]
 
     if has_sc:
@@ -225,11 +264,13 @@ def gn_silu_conv3x3_pallas(x, eff_scale, eff_bias, kernel, bias,
         out_specs=pl.BlockSpec((1, th, w, tc), lambda b, i, j: (b, i, 0, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, h, w, c_out), x.dtype),
+        scratch_shapes=[pltpu.VMEM((th + 2, w, c_in), x.dtype)],
         cost_estimate=pl.CostEstimate(
             flops=flops_conv,
             bytes_accessed=bytes_x + bytes_out + bytes_res,
             transcendentals=n * h * w * c_in,
         ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(*args)
     return out
