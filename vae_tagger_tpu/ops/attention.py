@@ -28,14 +28,24 @@ def _xla_attention(q, k, v):
     return jnp.einsum("bqk,bkd->bqd", weights.astype(v.dtype), v)
 
 
+# Measured crossover on the v5e (benchmarks/attention_bench.py, D=512,
+# bf16): XLA is ~16% faster at S=4096 (the 512px mid-block), the flash
+# kernel wins from S=9216 up (1.03-1.04x at 9216/16384, 76 TFLOP/s) and
+# keeps O(S) memory where XLA materializes B*S^2 fp32 scores.  4608 is the
+# first bucketed mid-block length above 4096 (576px).  The tagger-head MHSA
+# (S=64) always takes the XLA path.
+_FLASH_MIN_SEQ = 4608
+
+
 def spatial_single_head_attention(q, k, v):
     """Single-head self-attention over spatial tokens, (B, S, D) -> (B, S, D).
 
     Dispatches to the Pallas flash-attention kernel on TPU when the sequence
-    is long enough to benefit; otherwise uses the XLA path.
+    is long enough to benefit (measured, see _FLASH_MIN_SEQ); otherwise uses
+    the XLA path.
     """
     s = q.shape[1]
-    if backend.use_pallas("flash_attention") and s >= 1024:
+    if backend.use_pallas("flash_attention") and s >= _FLASH_MIN_SEQ:
         from .pallas.flash_attention import flash_attention
 
         return flash_attention(q, k, v)
