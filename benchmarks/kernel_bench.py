@@ -135,8 +135,9 @@ def main():
         if r:
             rows.append(r)
             print(json.dumps(r))
-    print(json.dumps({"geomean_speedup": round(
-        float(np.exp(np.mean([np.log(r["speedup"]) for r in rows]))), 3)}))
+    if rows:
+        print(json.dumps({"geomean_speedup": round(
+            float(np.exp(np.mean([np.log(r["speedup"]) for r in rows]))), 3)}))
 
 
 if __name__ == "__main__":

@@ -20,9 +20,12 @@ draws from the ``dropout`` rng stream; pass ``deterministic=True`` for eval.
 
 from __future__ import annotations
 
+import functools
+
 from typing import Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from ..core.config import AttentionDecoderConfig
@@ -248,6 +251,14 @@ class AttentionClassificationDecoder(nn.Module):
         return dense(self.num_classes, "classifier_12")(y)
 
 
+@functools.partial(jax.jit, static_argnums=0)
+def _sow_forward(decoder, variables, latents):
+    # one compiled program per decoder config: eager apply would dispatch
+    # every op individually (~100ms RTT each on this host)
+    return decoder.apply(variables, latents, deterministic=True,
+                         mutable=["intermediates"])
+
+
 def get_attention_maps(decoder, variables, latents) -> dict:
     """Extract attention maps for visualization (one eval forward).
 
@@ -262,8 +273,7 @@ def get_attention_maps(decoder, variables, latents) -> dict:
       self_attention:    (B, heads, S, S) MHSA softmax weights (pre-dropout)
       cross_attention:   (B, heads, 1, S) cross-attention weights
     """
-    _, inters = decoder.apply(variables, latents, deterministic=True,
-                              mutable=["intermediates"])
+    _, inters = _sow_forward(decoder, variables, latents)
     tree = inters.get("intermediates", {})
     maps = {}
     renames = {

@@ -111,12 +111,12 @@ def initialize_distributed():
     # (verified by tests/test_distributed.py)
     num = os.environ.get("JAX_NUM_PROCESSES")
     pid = os.environ.get("JAX_PROCESS_ID")
-    try:
-        if num is not None and pid is not None:
-            jax.distributed.initialize(coordinator_address=addr,
-                                       num_processes=int(num),
-                                       process_id=int(pid))
-        else:
-            jax.distributed.initialize()  # platform autodetect (TPU pods)
-    except Exception as e:
-        print(f"jax.distributed.initialize skipped: {e}")
+    # A failed init must be FATAL: swallowing it leaves this worker running
+    # single-process while its peers block in initialize()/collectives — a
+    # config typo would become a silent hang instead of a hard error.
+    if num is not None and pid is not None:
+        jax.distributed.initialize(coordinator_address=addr,
+                                   num_processes=int(num),
+                                   process_id=int(pid))
+    else:
+        jax.distributed.initialize()  # platform autodetect (TPU pods)

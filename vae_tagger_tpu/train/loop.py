@@ -46,7 +46,18 @@ def build_dataset_and_loaders(args, return_triplets: bool):
     # pixel on v5e (the reference's presets train at bs 2-4,
     # train_decoder.sh).  The sampler pads each batch from its own chunk and
     # masks the pads, so training consumes the same real samples per step.
-    pad_multiple = 8 if jax.default_backend() == "tpu" else None
+    # Pad the GLOBAL batch to 8 * device_count so each per-device shard is
+    # a sublane multiple (8 alone leaves sub-8 shards on multi-device
+    # meshes); device_count is a multiple of process_count, so the padded
+    # batch also slices evenly across processes.  Only pad when the
+    # per-device real batch is >= 4: below that the >=2x row inflation
+    # outweighs the ~3x sublane penalty (measured: bs4->8 @512px cuts a
+    # train_decoder step 116->101 ms), and padding the 1024px bs1 remat
+    # preset 8x would not even fit in HBM.
+    pad_multiple = (8 * jax.device_count()
+                    if jax.default_backend() == "tpu"
+                    and args.train_batch_size >= 4
+                    and args.train_batch_size % 8 else None)
     proc_kw = dict(process_index=jax.process_index(),
                    process_count=jax.process_count(),
                    pad_multiple=pad_multiple)
