@@ -58,3 +58,78 @@ def test_loader_uses_native_in_bucket_mode(tmp_path):
     # matches the PIL SmartResize reference pipeline
     ref = np.asarray(SmartResize(128, 64)(Image.fromarray(src)))
     assert np.abs(out.astype(int) - ref.astype(int)).max() <= 3
+
+
+# ---------------------------------------------------------------------------
+# JPEG decode path (native/decode.cpp)
+# ---------------------------------------------------------------------------
+
+decode_needed = pytest.mark.skipif(
+    not native.decode_available(),
+    reason="native jpeg decoder unavailable (no libjpeg at build time)")
+
+
+def _jpeg_bytes(h, w, quality=92):
+    import io
+
+    buf = io.BytesIO()
+    Image.fromarray(_smooth_image(h, w)).save(buf, "JPEG", quality=quality)
+    return buf.getvalue()
+
+
+@decode_needed
+def test_jpeg_info():
+    data = _jpeg_bytes(123, 457)
+    assert native.jpeg_info(data) == (123, 457)
+
+
+@decode_needed
+def test_decode_full_scale_matches_pil_decode_exactly():
+    """quality_factor=0 forces a full decode: same libjpeg, same DCT method
+    as PIL -> byte-identical to PIL-decode + native-resize."""
+    import io
+
+    data = _jpeg_bytes(300, 200)
+    out = native.decode_jpeg_resize(data, 128, 128, "center", (0, 0),
+                                    quality_factor=0)
+    pil = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+    ref = native.smart_resize(pil, 128, 128, "center")
+    assert np.array_equal(out, ref)
+
+
+@decode_needed
+def test_decode_dct_scaled_close_to_reference():
+    """With DCT scaling engaged (large source, small target) the result
+    stays close to the full-decode reference on smooth data."""
+    import io
+
+    data = _jpeg_bytes(1600, 1200)
+    out = native.decode_jpeg_resize(data, 128, 128, "center", (0, 0),
+                                    quality_factor=2)
+    pil = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+    ref = native.smart_resize(pil, 128, 128, "center")
+    diff = np.abs(out.astype(int) - ref.astype(int))
+    assert diff.max() <= 12, diff.max()
+    assert diff.mean() < 1.0, diff.mean()
+
+
+@decode_needed
+def test_decode_rejects_non_jpeg():
+    with pytest.raises(RuntimeError):
+        native.decode_jpeg_resize(b"\x89PNG\r\n\x1a\nnotajpeg", 64, 64)
+
+
+@decode_needed
+def test_loader_one_call_jpeg_path(tmp_path):
+    """Bucket-mode loading of a large JPEG goes through the one-call native
+    decode and stays close to the pure-PIL pipeline."""
+    from vae_tagger_tpu.data.bucketing import load_and_transform_image
+
+    src = _smooth_image(1600, 1200)
+    p = tmp_path / "big.jpg"
+    Image.fromarray(src).save(p, quality=92)
+    out = load_and_transform_image(str(p), bucket=(128, 128))
+    assert out.shape == (128, 128, 3) and out.dtype == np.uint8
+    img = Image.open(p).convert("RGB")
+    ref = np.asarray(SmartResize(128, 128)(img))
+    assert np.abs(out.astype(int) - ref.astype(int)).mean() < 1.5

@@ -156,6 +156,52 @@ def _native_smart_resize(img: Image.Image, width: int, height: int,
         return None
 
 
+def _native_decode_resize(path, width: int, height: int,
+                          crop_mode: str) -> Optional[np.ndarray]:
+    """One-call JPEG decode + crop + Lanczos via the C++ library
+    (vae_tagger_tpu/native/decode.cpp).  DCT-domain scaling keeps the
+    decode >= 2x the target, which cuts the dominant host cost on 1-core
+    hosts ~3-5x vs a full PIL decode.  Returns None to signal fallback."""
+    try:
+        from .. import native
+    except Exception:
+        return None
+    if not native.decode_available():
+        return None
+    try:
+        with open(path, "rb") as f:
+            data = f.read()
+        if data[:2] != b"\xff\xd8":  # JPEG magic; PNG/WebP stay on PIL
+            return None
+        oh, ow = native.jpeg_info(data)
+        # Mirror decode.cpp's crop-window + DCT-scale choice: the one-call
+        # path only wins when libjpeg can decode at a reduced scale (m < 8);
+        # at full scale PIL's decode is marginally faster, so fall through.
+        target_ratio = width / height
+        original_ratio = ow / oh
+        win_w, win_h = ow, oh
+        if original_ratio > target_ratio:
+            win_w = int(oh * target_ratio)
+        elif original_ratio < target_ratio:
+            win_h = int(ow / target_ratio)
+        q = 2
+        m = next((c for c in range(1, 9)
+                  if win_w * c >= 8 * q * width
+                  and win_h * c >= 8 * q * height), 8)
+        if m >= 8:
+            return None
+        offset = (0, 0)
+        if crop_mode == "random":
+            if original_ratio > target_ratio:
+                offset = (random.randint(0, ow - win_w), 0)
+            elif original_ratio < target_ratio:
+                offset = (0, random.randint(0, oh - win_h))
+        return native.decode_jpeg_resize(data, width, height, crop_mode,
+                                         offset, quality_factor=q)
+    except Exception:
+        return None
+
+
 def load_and_transform_image(
     path,
     resolution: Optional[int] = None,
@@ -174,6 +220,10 @@ def load_and_transform_image(
     Normalization to [-1, 1] is done on device (see ops/image.py) — the host
     hands over uint8.
     """
+    if bucket is not None:
+        out = _native_decode_resize(path, bucket[0], bucket[1], crop_mode)
+        if out is not None:
+            return out.astype(dtype, copy=False)
     img = Image.open(path).convert("RGB")
     if bucket is not None:
         out = _native_smart_resize(img, bucket[0], bucket[1], crop_mode)

@@ -1,0 +1,160 @@
+// Native JPEG decode for the data pipeline (libjpeg-turbo).
+//
+// The reference's hot host path is PIL/libjpeg C code (decode + LANCZOS,
+// /root/reference/modules.py:178,690).  On this framework's 1-core hosts the
+// loader is the training bottleneck: a PIL decode+resize of a ~1.5MP JPEG
+// costs ~100 ms while the device step consumes ~12 ms/image.  This file
+// pairs libjpeg(-turbo) decoding with the Lanczos core in resize.cpp and
+// adds DCT-domain scaling: when the target is much smaller than the source,
+// libjpeg decodes directly at 1/2..7/8 scale (IDCT shortcut), cutting both
+// decode and resample cost while the final Lanczos still resamples from a
+// >= quality_factor x target image.
+//
+// Plain C ABI (ctypes binding in __init__.py).  Non-JPEG and exotic color
+// spaces return an error and the caller falls back to PIL.
+
+#include <csetjmp>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+#include <cstdio>  // jpeglib needs FILE
+#include <jpeglib.h>
+
+extern "C" int vt_smart_resize(const uint8_t* src, int src_h, int src_w,
+                               uint8_t* dst, int dst_h, int dst_w,
+                               int crop_mode, int crop_x, int crop_y);
+
+namespace {
+
+struct ErrMgr {
+  jpeg_error_mgr pub;
+  jmp_buf jb;
+};
+
+void err_exit(j_common_ptr cinfo) {
+  ErrMgr* e = reinterpret_cast<ErrMgr*>(cinfo->err);
+  longjmp(e->jb, 1);
+}
+
+void silent_emit(j_common_ptr, int) {}
+
+}  // namespace
+
+extern "C" {
+
+// Header-only parse: fills (h, w), returns 0 on success.
+int vt_jpeg_info(const uint8_t* data, size_t len, int* h, int* w) {
+  if (!data || len < 4 || !h || !w) return -1;
+  jpeg_decompress_struct cinfo;
+  ErrMgr err;
+  cinfo.err = jpeg_std_error(&err.pub);
+  err.pub.error_exit = err_exit;
+  err.pub.emit_message = silent_emit;
+  if (setjmp(err.jb)) {
+    jpeg_destroy_decompress(&cinfo);
+    return -2;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, const_cast<uint8_t*>(data), len);
+  jpeg_read_header(&cinfo, TRUE);
+  *h = static_cast<int>(cinfo.image_height);
+  *w = static_cast<int>(cinfo.image_width);
+  jpeg_destroy_decompress(&cinfo);
+  return 0;
+}
+
+// Decode + SmartResize in one call.
+//
+// crop_mode / crop_x / crop_y follow vt_smart_resize, with offsets given in
+// FULL-RESOLUTION coordinates (they are rescaled if DCT scaling engages).
+// quality_factor q: decode at the smallest DCT scale that keeps the crop
+// window >= q x the target on both axes (q=0 forces a full decode, exactly
+// matching a PIL decode + native resize).  Returns 0 ok, <0 error.
+int vt_jpeg_decode_resize(const uint8_t* data, size_t len,
+                          uint8_t* dst, int dst_h, int dst_w,
+                          int crop_mode, int crop_x, int crop_y,
+                          int quality_factor) {
+  if (!data || len < 4 || !dst || dst_h <= 0 || dst_w <= 0) return -1;
+
+  jpeg_decompress_struct cinfo;
+  ErrMgr err;
+  cinfo.err = jpeg_std_error(&err.pub);
+  err.pub.error_exit = err_exit;
+  err.pub.emit_message = silent_emit;
+  std::vector<uint8_t> pixels;  // declared before setjmp use below
+  if (setjmp(err.jb)) {
+    jpeg_destroy_decompress(&cinfo);
+    return -2;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, const_cast<uint8_t*>(data), len);
+  jpeg_read_header(&cinfo, TRUE);
+
+  const int full_w = static_cast<int>(cinfo.image_width);
+  const int full_h = static_cast<int>(cinfo.image_height);
+  if (full_w <= 0 || full_h <= 0) {
+    jpeg_destroy_decompress(&cinfo);
+    return -3;
+  }
+
+  // Crop window in full resolution (same ratio math as vt_smart_resize).
+  const double target_ratio = static_cast<double>(dst_w) / dst_h;
+  const double src_ratio = static_cast<double>(full_w) / full_h;
+  int win_w = full_w, win_h = full_h;
+  if (crop_mode != 3) {
+    if (src_ratio > target_ratio) {
+      win_w = static_cast<int>(full_h * target_ratio);
+    } else if (src_ratio < target_ratio) {
+      win_h = static_cast<int>(full_w / target_ratio);
+    }
+  }
+  if (win_w <= 0 || win_h <= 0) {
+    jpeg_destroy_decompress(&cinfo);
+    return -3;
+  }
+
+  // Smallest DCT scale m/8 (m in 1..8) with win*m/8 >= q*target both axes.
+  int m = 8;
+  if (quality_factor > 0) {
+    for (int cand = 1; cand <= 8; ++cand) {
+      if (static_cast<long>(win_w) * cand >= 8L * quality_factor * dst_w &&
+          static_cast<long>(win_h) * cand >= 8L * quality_factor * dst_h) {
+        m = cand;
+        break;
+      }
+    }
+  }
+  cinfo.scale_num = m;
+  cinfo.scale_denom = 8;
+  cinfo.out_color_space = JCS_RGB;  // converts GRAYSCALE/YCbCr; CMYK errors
+  cinfo.dct_method = JDCT_ISLOW;    // PIL's default: keeps parity at m=8
+
+  jpeg_start_decompress(&cinfo);
+  if (cinfo.output_components != 3) {
+    jpeg_abort_decompress(&cinfo);
+    jpeg_destroy_decompress(&cinfo);
+    return -4;
+  }
+  const int dec_w = static_cast<int>(cinfo.output_width);
+  const int dec_h = static_cast<int>(cinfo.output_height);
+  pixels.resize(static_cast<size_t>(dec_w) * dec_h * 3);
+  while (cinfo.output_scanline < cinfo.output_height) {
+    JSAMPROW row = pixels.data() +
+        static_cast<size_t>(cinfo.output_scanline) * dec_w * 3;
+    jpeg_read_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+
+  // Rescale explicit crop offsets into decoded coordinates.
+  int cx = crop_x, cy = crop_y;
+  if (crop_mode == 2 && m != 8) {
+    cx = static_cast<int>(static_cast<long>(crop_x) * dec_w / full_w);
+    cy = static_cast<int>(static_cast<long>(crop_y) * dec_h / full_h);
+  }
+  return vt_smart_resize(pixels.data(), dec_h, dec_w, dst, dst_h, dst_w,
+                         crop_mode, cx, cy);
+}
+
+}  // extern "C"
