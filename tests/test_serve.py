@@ -1,0 +1,133 @@
+"""Serving tests: HTTP server + dynamic micro-batching over TaggerEngine.
+
+Drives the full stack in-process: tiny VAE + head artifacts on disk ->
+TaggerEngine.load -> TaggerServer on an ephemeral port -> concurrent
+urllib clients -> per-image JSON in the classification_results schema.
+"""
+
+import concurrent.futures
+import io
+import json
+import urllib.request
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from PIL import Image
+
+from vae_tagger_tpu.core.config import default_flux_vae_config
+from vae_tagger_tpu.infer import TaggerEngine
+from vae_tagger_tpu.infer.engine import build_decoder
+from vae_tagger_tpu.io.safetensors_io import save_vae_pretrained
+from vae_tagger_tpu.io.torch_bin import save_decoder_bin
+from vae_tagger_tpu.models.autoencoder_kl import AutoencoderKL
+from vae_tagger_tpu.serve import BatchingWorker, TaggerServer
+from vae_tagger_tpu.utils import create_synthetic_dataset
+
+CFG = default_flux_vae_config(block_out_channels=(8, 16, 16, 16),
+                              norm_num_groups=4, latent_channels=16,
+                              sample_size=64)
+
+
+@pytest.fixture(scope="module")
+def engine(tmp_path_factory):
+    root = tmp_path_factory.mktemp("serve")
+    ds = create_synthetic_dataset(str(root / "ds"), num_images=4,
+                                  img_size=64, seed=0)
+    model = AutoencoderKL(CFG)
+    params = jax.jit(model.init)({"params": jax.random.key(0)},
+                                 jnp.zeros((1, 64, 64, 3)),
+                                 jax.random.key(1))["params"]
+    vae_dir = str(root / "vae")
+    save_vae_pretrained(params, CFG, vae_dir)
+    decoder = build_decoder(ds["num_tags"], use_attention=True,
+                            latent_channels=16)
+    variables = jax.jit(decoder.init, static_argnames=("deterministic",))(
+        {"params": jax.random.key(2)}, jnp.zeros((1, 8, 8, 16)),
+        deterministic=True)
+    bin_path = str(root / "decoder.bin")
+    save_decoder_bin(variables["params"], variables.get("batch_stats"),
+                     bin_path)
+    return TaggerEngine.load(
+        vae_checkpoint=f"{vae_dir}/diffusion_pytorch_model.safetensors",
+        decoder_checkpoint=bin_path,
+        tags_csv_path=ds["tags_csv"],
+        vae_config_path=f"{vae_dir}/config.json")
+
+
+def _jpeg_bytes(seed=0):
+    rng = np.random.default_rng(seed)
+    img = Image.fromarray(rng.integers(0, 255, (96, 80, 3), dtype=np.uint8))
+    buf = io.BytesIO()
+    img.save(buf, "JPEG", quality=90)
+    return buf.getvalue()
+
+
+def test_batching_worker_coalesces_and_matches_direct(engine):
+    worker = BatchingWorker(engine, max_batch=4, batch_timeout_ms=30)
+    try:
+        px = [np.random.default_rng(i).integers(
+            0, 255, (64, 64, 3), dtype=np.uint8) for i in range(3)]
+        with concurrent.futures.ThreadPoolExecutor(3) as ex:
+            probs = list(ex.map(worker.submit, px))
+        direct = engine.classify(np.stack(px))
+        for got, want in zip(probs, direct):
+            np.testing.assert_allclose(got, want, atol=1e-5)
+    finally:
+        worker.stop()
+
+
+def test_http_classify_schema_and_health(engine):
+    with TaggerServer(engine, resolution=64, threshold=0.0,
+                      host="127.0.0.1", port=0, max_batch=4,
+                      batch_timeout_ms=5) as server:
+        base = f"http://127.0.0.1:{server.port}"
+
+        with urllib.request.urlopen(f"{base}/healthz", timeout=30) as r:
+            health = json.load(r)
+        assert health["status"] == "ok"
+        assert health["num_tags"] == len(engine.tag_names)
+
+        with urllib.request.urlopen(f"{base}/tags", timeout=30) as r:
+            assert json.load(r)["tags"] == engine.tag_names
+
+        req = urllib.request.Request(f"{base}/classify", data=_jpeg_bytes(),
+                                     method="POST")
+        with urllib.request.urlopen(req, timeout=120) as r:
+            out = json.load(r)
+        # exact classification_results.json entry schema
+        assert set(out) == {"predicted_tags", "total_tags_above_threshold",
+                            "max_confidence", "avg_confidence_top5"}
+        assert out["total_tags_above_threshold"] == len(out["predicted_tags"])
+        confs = [t["confidence"] for t in out["predicted_tags"]]
+        assert confs == sorted(confs, reverse=True)
+        assert out["predicted_tags"][0]["tag"] in engine.tag_names
+
+
+def test_http_concurrent_requests_batched(engine):
+    with TaggerServer(engine, resolution=64, threshold=0.5,
+                      host="127.0.0.1", port=0, max_batch=8,
+                      batch_timeout_ms=50) as server:
+        base = f"http://127.0.0.1:{server.port}"
+
+        def post(i):
+            req = urllib.request.Request(
+                f"{base}/classify", data=_jpeg_bytes(i), method="POST")
+            with urllib.request.urlopen(req, timeout=120) as r:
+                return json.load(r)
+
+        with concurrent.futures.ThreadPoolExecutor(4) as ex:
+            outs = list(ex.map(post, range(4)))
+        assert all("predicted_tags" in o for o in outs)
+
+
+def test_http_bad_image_is_400(engine):
+    with TaggerServer(engine, resolution=64, host="127.0.0.1",
+                      port=0) as server:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{server.port}/classify",
+            data=b"not an image", method="POST")
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=30)
+        assert ei.value.code == 400

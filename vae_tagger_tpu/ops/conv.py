@@ -3,9 +3,11 @@
 This is the TPU-native replacement for the cuDNN conv stacks inside the
 reference's diffusers VAE (``/root/reference/diffusers_vae_loader.py:8-35``):
 every ResnetBlock branch ``conv(silu(gn(x)))`` [+ residual / 1x1 shortcut]
-goes through here.  On TPU with admissible shapes it runs the Pallas fused
-kernel (ops/pallas/conv_fused.py) after a single XLA fp32 stats pass over x;
-otherwise it runs the XLA reference (GroupNorm -> SiLU -> lax.conv).
+goes through here.  With the "pallas" backend forced and admissible shapes
+it runs the Pallas fused kernel (ops/pallas/conv_fused.py) after a single
+XLA fp32 stats pass over x; the DEFAULT auto policy routes to the XLA
+reference (GroupNorm -> SiLU -> lax.conv), which measured faster in context
+at every stage shape (docs/PERF.md).
 
 Backward: custom VJP differentiating through the XLA reference (recompute).
 GN+SiLU backward is cheap next to the conv's own backward convs, and this
