@@ -229,35 +229,22 @@ def main():
             state, jax.tree.map(lambda x: x[0], fbatches),
             fkeys[0]).compile().cost_analysis().get("flops", 0.0))
 
-        @jax.jit
-        def chain_full(state, batches, keys):
-            def body(st, xs):
-                b, key = xs
-                st, m = full_step(st, b, key)
-                return st, m["loss"]
-            return jax.lax.scan(body, state, (batches, keys))
-
-        try:
-            st2, losses = chain_full(state, fbatches, fkeys)
-            jax.device_get(losses)
-            t0 = time.perf_counter()
-            st2, losses = chain_full(state, fbatches, fkeys)
-            jax.device_get(losses)
-            dt = (time.perf_counter() - t0) / n_full
-            note = ("steps chained in one program (cost-analysis flops "
-                    "include remat recompute)")
-        except Exception as e:  # scan carries a second live state copy;
-            # at 1024px remat that can exhaust HBM -> per-dispatch fallback
-            print(f"  (chained train_full fell back to per-dispatch: {e})")
-            one = jax.tree.map(lambda x: jnp.array(x[0]), fbatches)
-            state, m = full_step(state, one, fkeys[0])
+        # Per-dispatch timing (NOT a chained scan): the 1024px bs1 remat
+        # step sits at the HBM edge and a scan carries a second live copy
+        # of the donated train state, which exhausts device memory.  The
+        # per-dispatch figure includes ~100ms relay RTT per step (~10%
+        # here); distinct batches per step keep XLA honest.
+        ones = [jax.tree.map(lambda x: jnp.array(x[i]), fbatches)
+                for i in range(n_full)]
+        state, m = full_step(state, ones[0], fkeys[0])
+        jax.device_get(m["loss"])
+        t0 = time.perf_counter()
+        for i in range(3):
+            state, m = full_step(state, ones[i % n_full], fkeys[i % n_full])
             jax.device_get(m["loss"])
-            t0 = time.perf_counter()
-            for i in range(3):
-                state, m = full_step(state, one, fkeys[i % n_full])
-                jax.device_get(m["loss"])
-            dt = (time.perf_counter() - t0) / 3
-            note = "per-dispatch timing (includes ~100ms relay RTT per step)"
+        dt = (time.perf_counter() - t0) / 3
+        note = ("per-dispatch timing (includes ~100ms relay RTT per step; "
+                "cost-analysis flops include remat recompute)")
         results["train_full_1024px_batch1_remat"] = {
             "ms_per_step": round(dt * 1000, 1),
             "train_mfu": round(full_flops / dt / 197e12, 3),
