@@ -174,10 +174,6 @@ def main():
                            *[mk_batch() for _ in range(n_steps)])
     keys = jax.random.split(jax.random.key(0), n_steps)
 
-    step_flops = float(train_step.lower(
-        state, vp, jax.tree.map(lambda x: x[0], batches),
-        keys[0]).compile().cost_analysis().get("flops", 0.0))
-
     @jax.jit
     def chain_steps(state, vp, batches, keys):
         def body(st, xs):
@@ -186,10 +182,15 @@ def main():
             return st, m["loss"]
         return jax.lax.scan(body, state, (batches, keys))
 
-    state2, losses = chain_steps(state, vp, batches, keys)
+    # ONE compile: the chain is both the timed program and the flops source
+    chain_c = chain_steps.lower(state, vp, batches, keys).compile()
+    step_flops = float(
+        chain_c.cost_analysis().get("flops", 0.0)) / n_steps
+
+    state2, losses = chain_c(state, vp, batches, keys)
     jax.device_get(losses)
     t0 = time.perf_counter()
-    state2, losses = chain_steps(state, vp, batches, keys)
+    state2, losses = chain_c(state, vp, batches, keys)
     jax.device_get(losses)
     dt = (time.perf_counter() - t0) / n_steps
     results["train_decoder_512px_batch4"] = {
@@ -225,9 +226,11 @@ def main():
         fbatches = jax.tree.map(lambda *xs: jnp.asarray(np.stack(xs)),
                                 *[mk_full_batch() for _ in range(n_full)])
         fkeys = jax.random.split(jax.random.key(0), n_full)
-        full_flops = float(full_step.lower(
+        # one AOT compile serves both the flops readout and execution
+        full_c = full_step.lower(
             state, jax.tree.map(lambda x: x[0], fbatches),
-            fkeys[0]).compile().cost_analysis().get("flops", 0.0))
+            fkeys[0]).compile()
+        full_flops = float(full_c.cost_analysis().get("flops", 0.0))
 
         # Per-dispatch timing (NOT a chained scan): the 1024px bs1 remat
         # step sits at the HBM edge and a scan carries a second live copy
@@ -236,11 +239,11 @@ def main():
         # here); distinct batches per step keep XLA honest.
         ones = [jax.tree.map(lambda x: jnp.array(x[i]), fbatches)
                 for i in range(n_full)]
-        state, m = full_step(state, ones[0], fkeys[0])
+        state, m = full_c(state, ones[0], fkeys[0])
         jax.device_get(m["loss"])
         t0 = time.perf_counter()
         for i in range(3):
-            state, m = full_step(state, ones[i % n_full], fkeys[i % n_full])
+            state, m = full_c(state, ones[i % n_full], fkeys[i % n_full])
             jax.device_get(m["loss"])
         dt = (time.perf_counter() - t0) / 3
         note = ("per-dispatch timing (includes ~100ms relay RTT per step; "

@@ -25,6 +25,8 @@ def main():
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("--max_batch", type=int, default=8)
     p.add_argument("--batch_timeout_ms", type=float, default=10.0)
+    p.add_argument("--request_timeout_s", type=float, default=600.0)
+    p.add_argument("--no_warmup", action="store_true")
     p.add_argument("--no_attention", action="store_true")
     p.add_argument("--mixed_precision", type=str, default=None,
                    choices=[None, "no", "fp16", "bf16"])
@@ -44,7 +46,9 @@ def main():
                           threshold=args.confidence_threshold,
                           host=args.host, port=args.port,
                           max_batch=args.max_batch,
-                          batch_timeout_ms=args.batch_timeout_ms)
+                          batch_timeout_ms=args.batch_timeout_ms,
+                          request_timeout_s=args.request_timeout_s,
+                          warmup=not args.no_warmup)
     server.serve_forever()
 
 

@@ -17,6 +17,7 @@ TPU-first differences:
 
 from __future__ import annotations
 
+import io
 import random
 from typing import Dict, List, Optional, Tuple
 
@@ -156,50 +157,41 @@ def _native_smart_resize(img: Image.Image, width: int, height: int,
         return None
 
 
-def _native_decode_resize(path, width: int, height: int,
-                          crop_mode: str) -> Optional[np.ndarray]:
+def _native_decode_resize(path, width: int, height: int, crop_mode: str):
     """One-call JPEG decode + crop + Lanczos via the C++ library
     (vae_tagger_tpu/native/decode.cpp).  DCT-domain scaling keeps the
     decode >= 2x the target, which cuts the dominant host cost on 1-core
-    hosts ~3-5x vs a full PIL decode.  Returns None to signal fallback."""
+    hosts ~2x+ vs a full PIL decode.  Returns (result_or_None, bytes_or_None);
+    the bytes let the PIL fallback skip a second disk read."""
     try:
         from .. import native
     except Exception:
-        return None
+        return None, None
     if not native.decode_available():
-        return None
+        return None, None
     try:
         with open(path, "rb") as f:
             data = f.read()
         if data[:2] != b"\xff\xd8":  # JPEG magic; PNG/WebP stay on PIL
-            return None
-        oh, ow = native.jpeg_info(data)
-        # Mirror decode.cpp's crop-window + DCT-scale choice: the one-call
-        # path only wins when libjpeg can decode at a reduced scale (m < 8);
-        # at full scale PIL's decode is marginally faster, so fall through.
-        target_ratio = width / height
-        original_ratio = ow / oh
-        win_w, win_h = ow, oh
-        if original_ratio > target_ratio:
-            win_w = int(oh * target_ratio)
-        elif original_ratio < target_ratio:
-            win_h = int(ow / target_ratio)
-        q = 2
-        m = next((c for c in range(1, 9)
-                  if win_w * c >= 8 * q * width
-                  and win_h * c >= 8 * q * height), 8)
-        if m >= 8:
-            return None
+            return None, data
         offset = (0, 0)
         if crop_mode == "random":
+            oh, ow = native.jpeg_info(data)
+            target_ratio = width / height
+            original_ratio = ow / oh
             if original_ratio > target_ratio:
-                offset = (random.randint(0, ow - win_w), 0)
+                offset = (random.randint(0, ow - int(oh * target_ratio)), 0)
             elif original_ratio < target_ratio:
-                offset = (0, random.randint(0, oh - win_h))
+                offset = (0, random.randint(0, oh - int(ow / target_ratio)))
+        # reject_full_scale: the one-call path only wins when libjpeg can
+        # decode at a reduced DCT scale; at full scale PIL's decode is
+        # marginally faster, so the C++ side (which owns the scale choice)
+        # signals fallback without decoding
         return native.decode_jpeg_resize(data, width, height, crop_mode,
-                                         offset, quality_factor=q)
+                                         offset, quality_factor=2,
+                                         reject_full_scale=True), data
     except Exception:
-        return None
+        return None, None
 
 
 def load_and_transform_image(
@@ -220,11 +212,15 @@ def load_and_transform_image(
     Normalization to [-1, 1] is done on device (see ops/image.py) — the host
     hands over uint8.
     """
+    data = None
     if bucket is not None:
-        out = _native_decode_resize(path, bucket[0], bucket[1], crop_mode)
+        out, data = _native_decode_resize(path, bucket[0], bucket[1],
+                                          crop_mode)
         if out is not None:
             return out.astype(dtype, copy=False)
-    img = Image.open(path).convert("RGB")
+    # reuse the already-read bytes when the native path declined
+    img = Image.open(io.BytesIO(data) if data is not None
+                     else path).convert("RGB")
     if bucket is not None:
         out = _native_smart_resize(img, bucket[0], bucket[1], crop_mode)
         if out is not None:

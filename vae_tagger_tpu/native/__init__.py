@@ -45,8 +45,14 @@ def _build() -> bool:
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
         return True
-    except Exception:
-        # no libjpeg dev on this host: build the resize-only library
+    except Exception as e:
+        # no libjpeg dev on this host (or a decode.cpp regression): say so,
+        # then build the resize-only library.  Delete libvtnative.so to
+        # retry the full build after installing libjpeg-dev.
+        detail = getattr(e, "stderr", b"")
+        detail = detail.decode(errors="replace")[-500:] if detail else e
+        print(f"native decode build failed (resize-only fallback; "
+              f"delete {_SO} to retry): {detail}")
         cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
                "-o", _SO, _SRC]
         try:
@@ -89,6 +95,7 @@ def _load() -> Optional[ctypes.CDLL]:
                     ctypes.POINTER(ctypes.c_uint8), ctypes.c_size_t,
                     ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
                     ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                    ctypes.c_int,
                 ]
             _lib = lib
         except OSError as e:
@@ -148,13 +155,17 @@ def jpeg_info(data: bytes) -> tuple[int, int]:
 def decode_jpeg_resize(data: bytes, target_width: int, target_height: int,
                        crop_mode: str = "center",
                        crop_offset: tuple[int, int] = (0, 0),
-                       quality_factor: int = 2) -> np.ndarray:
+                       quality_factor: int = 2,
+                       reject_full_scale: bool = False
+                       ) -> Optional[np.ndarray]:
     """JPEG decode + SmartResize in one native call.
 
     ``quality_factor`` q > 0 lets libjpeg decode at a reduced DCT scale as
     long as the crop window stays >= q x the target on both axes (q=0 forces
     a full decode, which matches PIL-decode + native-resize exactly).
     ``crop_offset`` for 'random' mode is in FULL-RESOLUTION coordinates.
+    With ``reject_full_scale`` the call returns None (without decoding) when
+    DCT scaling cannot engage — the scale decision stays in C++.
     """
     lib = _load()
     if lib is None or not hasattr(lib, "vt_jpeg_decode_resize"):
@@ -166,8 +177,10 @@ def decode_jpeg_resize(data: bytes, target_width: int, target_height: int,
         dst.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         target_height, target_width,
         _CROP_MODES.get(crop_mode, 0), crop_offset[0], crop_offset[1],
-        quality_factor,
+        quality_factor, int(reject_full_scale),
     )
+    if rc == 1:
+        return None
     if rc != 0:
         raise RuntimeError(f"vt_jpeg_decode_resize failed with code {rc}")
     return dst

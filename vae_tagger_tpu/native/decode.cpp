@@ -70,11 +70,15 @@ int vt_jpeg_info(const uint8_t* data, size_t len, int* h, int* w) {
 // FULL-RESOLUTION coordinates (they are rescaled if DCT scaling engages).
 // quality_factor q: decode at the smallest DCT scale that keeps the crop
 // window >= q x the target on both axes (q=0 forces a full decode, exactly
-// matching a PIL decode + native resize).  Returns 0 ok, <0 error.
+// matching a PIL decode + native resize).  reject_full_scale != 0 makes the
+// call return 1 WITHOUT decoding when only a full-scale decode is possible
+// (callers that prefer PIL's marginally faster full decode use this instead
+// of mirroring the scale-selection math).  Returns 0 ok, 1 rejected,
+// <0 error.
 int vt_jpeg_decode_resize(const uint8_t* data, size_t len,
                           uint8_t* dst, int dst_h, int dst_w,
                           int crop_mode, int crop_x, int crop_y,
-                          int quality_factor) {
+                          int quality_factor, int reject_full_scale) {
   if (!data || len < 4 || !dst || dst_h <= 0 || dst_w <= 0) return -1;
 
   jpeg_decompress_struct cinfo;
@@ -124,6 +128,10 @@ int vt_jpeg_decode_resize(const uint8_t* data, size_t len,
         break;
       }
     }
+  }
+  if (m >= 8 && reject_full_scale) {
+    jpeg_destroy_decompress(&cinfo);
+    return 1;
   }
   cinfo.scale_num = m;
   cinfo.scale_denom = 8;

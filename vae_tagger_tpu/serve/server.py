@@ -48,21 +48,24 @@ class BatchingWorker:
     """Coalesces concurrent classify requests into one device batch."""
 
     def __init__(self, engine: TaggerEngine, max_batch: int = 8,
-                 batch_timeout_ms: float = 10.0):
+                 batch_timeout_ms: float = 10.0,
+                 request_timeout_s: float = 600.0):
         self.engine = engine
         self.max_batch = max(1, max_batch)
         self.timeout_s = max(0.0, batch_timeout_ms) / 1000.0
+        self.request_timeout_s = request_timeout_s
         self.queue: "queue.Queue[_Pending]" = queue.Queue()
         self._stop = threading.Event()
         self.thread = threading.Thread(target=self._run, daemon=True,
                                        name="tagger-batcher")
         self.thread.start()
 
-    def submit(self, pixels: np.ndarray, timeout: float = 60.0) -> np.ndarray:
+    def submit(self, pixels: np.ndarray,
+               timeout: Optional[float] = None) -> np.ndarray:
         """(H, W, 3) uint8 -> (num_tags,) probabilities.  Blocking."""
         item = _Pending(pixels)
         self.queue.put(item)
-        if not item.event.wait(timeout):
+        if not item.event.wait(timeout or self.request_timeout_s):
             raise TimeoutError("classify request timed out")
         if item.error is not None:
             raise item.error
@@ -158,8 +161,18 @@ class TaggerServer:
     def __init__(self, engine: TaggerEngine, resolution: int = 1024,
                  threshold: float = 0.5, host: str = "0.0.0.0",
                  port: int = 8000, max_batch: int = 8,
-                 batch_timeout_ms: float = 10.0):
-        self.worker = BatchingWorker(engine, max_batch, batch_timeout_ms)
+                 batch_timeout_ms: float = 10.0,
+                 request_timeout_s: float = 600.0, warmup: bool = True):
+        if warmup:
+            # compile the padded device-batch program BEFORE accepting
+            # requests: first-compile takes minutes through a remote-compile
+            # relay, and a cold server would 500 every early request on its
+            # submit timeout while discarding the computed batch
+            print(f"warming up the {resolution}px classify program ...")
+            engine.classify(np.zeros((1, resolution, resolution, 3),
+                                     dtype=np.uint8))
+        self.worker = BatchingWorker(engine, max_batch, batch_timeout_ms,
+                                     request_timeout_s)
         handler = _make_handler(self.worker, engine, resolution, threshold)
         self.httpd = ThreadingHTTPServer((host, port), handler)
         self.port = self.httpd.server_address[1]
