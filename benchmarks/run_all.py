@@ -182,10 +182,11 @@ def main():
             return st, m["loss"]
         return jax.lax.scan(body, state, (batches, keys))
 
-    # ONE compile: the chain is both the timed program and the flops source
+    # ONE compile: the chain is both the timed program and the flops source.
+    # XLA's cost analysis counts a While-loop (scan) body ONCE regardless of
+    # trip count, so the chain's flops ARE one step's flops.
     chain_c = chain_steps.lower(state, vp, batches, keys).compile()
-    step_flops = float(
-        chain_c.cost_analysis().get("flops", 0.0)) / n_steps
+    step_flops = float(chain_c.cost_analysis().get("flops", 0.0))
 
     state2, losses = chain_c(state, vp, batches, keys)
     jax.device_get(losses)

@@ -270,3 +270,36 @@ def test_training_determinism():
         return losses
 
     np.testing.assert_array_equal(run(), run())
+
+
+def test_triplet_sublane_padding_is_loss_neutral(monkeypatch):
+    """The in-step 3B->8k sublane padding (steps.py::_triplet_posterior)
+    must not change the eval loss: padded zero rows are sliced off before
+    any loss term.  Forced on by faking a TPU backend (the pad math itself
+    runs fine on CPU)."""
+    vae, decoder, vae_params, _ = _models()
+    cfg = LossConfig(reconstruction_weight=1.0, triplet_weight=0.1)
+    batch = _batch(b=2)  # 3B = 6 rows -> pads to 8 when "on TPU"
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+
+    tx = build_optimizer(optax.constant_schedule(1e-4), 1e-6, 1.0, 1)
+
+    _, eval_plain = make_vae_steps(vae, cfg, use_simplified=True)
+    m_plain = eval_plain(TrainState.create(_fresh(vae_params), tx), batch,
+                         jax.random.key(0))
+
+    from vae_tagger_tpu.ops import backend as kernel_backend
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    # fresh step builder -> fresh jit cache entry tracing the padded branch;
+    # kernel dispatch pinned to XLA (the fake "tpu" backend would otherwise
+    # route GroupNorm to Pallas kernels on the CPU test host)
+    with kernel_backend.backend("xla"):
+        _, eval_padded = make_vae_steps(vae, cfg, use_simplified=True)
+        m_padded = eval_padded(TrainState.create(_fresh(vae_params), tx),
+                               batch, jax.random.key(0))
+
+    for k in m_plain:
+        np.testing.assert_allclose(np.asarray(m_plain[k]),
+                                   np.asarray(m_padded[k]),
+                                   rtol=2e-5, atol=2e-6)

@@ -55,9 +55,29 @@ def _triplet_posterior(vae: AutoencoderKL, vae_params, batch, compute_dtype,
     if not checkpoint_encode:
         images = jnp.concatenate([batch["anchor"], batch["positive"],
                                   batch["negative"]], axis=0)
+        rows = images.shape[0]
+        # Sublane padding for the stacked 3B encode: the reference's
+        # train_full.sh preset (bs 2) makes a 6-row batch, and off-multiple
+        # batches measured ~3x lower per-pixel throughput on v5e.  Pad with
+        # zero rows (GroupNorm is per-sample: pads cannot touch real rows;
+        # their outputs are sliced off, so their gradients are zero) — but
+        # only when the inflation stays <= 4/3 (3 rows -> 8 would nearly
+        # triple compute and HBM, and 1024px bs1 goes through the
+        # checkpoint_encode branch below anyway).
+        padded = -(-rows // 8) * 8
+        pad_rows = padded - rows
+        if (jax.default_backend() == "tpu" and pad_rows
+                and padded * 3 <= rows * 4):
+            images = jnp.concatenate(
+                [images, jnp.zeros((pad_rows, *images.shape[1:]),
+                                   images.dtype)], axis=0)
         x = normalize_uint8(images, compute_dtype)
-        return vae.apply({"params": vae_params}, x,
+        post = vae.apply({"params": vae_params}, x,
                          method=AutoencoderKL.encode)
+        if images.shape[0] != rows:
+            post = DiagonalGaussian(mean=post.mean[:rows],
+                                    logvar=post.logvar[:rows])
+        return post
 
     @jax.checkpoint
     def enc(p, px):
