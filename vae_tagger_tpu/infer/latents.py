@@ -118,5 +118,10 @@ class VAEOnlyEngine:
     def encode(self, pixels_uint8):
         import jax.numpy as jnp
 
+        from .engine import TaggerEngine
+
+        # sublane padding: tail batches < 8 rows measured ~3x lower
+        # per-pixel throughput on v5e (pads sliced off)
+        px, b = TaggerEngine._pad_batch(np.asarray(pixels_uint8))
         return np.asarray(self._encode_fn(self.vae_params,
-                                          jnp.asarray(pixels_uint8)))
+                                          jnp.asarray(px)))[:b]
