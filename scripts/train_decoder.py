@@ -38,6 +38,11 @@ def main():
     parser.add_argument("--resume_from", type=str, default=None,
                         help="orbax train-state checkpoint to resume from "
                         "(TPU extension; the reference parses no resume flag)")
+    parser.add_argument("--cache_latents", action="store_true",
+                        help="cache frozen-VAE latents per sample after the "
+                        "first epoch (TPU extension): the encode is ~90%% of "
+                        "a decoder-train step and latents are deterministic "
+                        "with the default center crop; epochs >= 2 skip it")
     args = parser.parse_args()
 
     from vae_tagger_tpu.train.train_decoder import train_decoder

@@ -168,3 +168,25 @@ def test_train_decoder_no_attention_and_bf16(workspace):
                      map_location="cpu", weights_only=True)
     assert any(k.startswith("classifier.") for k in sd)
     assert not any("spatial_attention" in k for k in sd)
+
+
+def test_train_decoder_cache_latents_equivalent(workspace):
+    """--cache_latents must be training-equivalent: 2 epochs with the cache
+    (epoch 2 runs entirely from cached latents) produce the same history as
+    2 epochs without it (frozen VAE + deterministic center crop)."""
+    from vae_tagger_tpu.train.train_decoder import train_decoder
+
+    root, ds, vae_dir = workspace
+    train_decoder(_base_args(root, ds, vae_dir, "dec_nocache",
+                             num_epochs=2))
+    train_decoder(_base_args(root, ds, vae_dir, "dec_cache",
+                             num_epochs=2, cache_latents=True))
+    h0 = json.loads((root / "dec_nocache" /
+                     "training_history.json").read_text())
+    h1 = json.loads((root / "dec_cache" /
+                     "training_history.json").read_text())
+    # not bit-exact: the cached path runs encode and the decoder update as
+    # two programs instead of one fused jit, and the fusion-order float
+    # differences amplify through optimizer + BatchNorm stats over epochs
+    np.testing.assert_allclose(h0["train_loss"], h1["train_loss"], rtol=2e-3)
+    np.testing.assert_allclose(h0["val_loss"], h1["val_loss"], rtol=2e-3)

@@ -122,16 +122,12 @@ def make_decoder_steps(vae: AutoencoderKL, decoder, cfg: LossConfig,
         return jax.lax.stop_gradient(
             encode_scaled(posterior.mode(), vae.config)).astype(compute_dtype)
 
-    @partial(jax.jit, donate_argnums=(0,))
-    def train_step(state, vae_params, batch, rng):
-        latents = encode(vae_params, batch["pixel_values"])
-
+    def _train_body(state, latents, labels, rng):
         def loss_fn(params):
             logits, new_stats = _decoder_forward(
                 decoder, params, state.batch_stats, latents,
                 train=True, rng=rng)
-            loss = classification_term(cfg, logits, batch["labels"],
-                                        cb_weights)
+            loss = classification_term(cfg, logits, labels, cb_weights)
             return loss, new_stats
 
         (loss, new_stats), grads = jax.value_and_grad(
@@ -139,16 +135,38 @@ def make_decoder_steps(vae: AutoencoderKL, decoder, cfg: LossConfig,
         state = state.apply_gradients(grads, new_batch_stats=new_stats)
         return state, {"loss": loss}
 
-    @jax.jit
-    def eval_step(state, vae_params, batch):
-        latents = encode(vae_params, batch["pixel_values"])
+    def _eval_body(state, latents, labels):
         logits, _ = _decoder_forward(decoder, state.params,
                                      state.batch_stats, latents,
                                      train=False, rng=None)
-        loss = classification_term(cfg, logits, batch["labels"], cb_weights)
+        loss = classification_term(cfg, logits, labels, cb_weights)
         probs = jax.nn.sigmoid(logits.astype(jnp.float32))
         return {"loss": loss, "probs": probs}
 
+    @partial(jax.jit, donate_argnums=(0,))
+    def train_step(state, vae_params, batch, rng):
+        latents = encode(vae_params, batch["pixel_values"])
+        return _train_body(state, latents, batch["labels"], rng)
+
+    @jax.jit
+    def eval_step(state, vae_params, batch):
+        latents = encode(vae_params, batch["pixel_values"])
+        return _eval_body(state, latents, batch["labels"])
+
+    # latent-direct variants for --cache_latents (the frozen VAE makes
+    # latents a pure function of the image; epochs >= 2 skip the encode,
+    # which is ~90% of the decoder-train step)
+    @partial(jax.jit, donate_argnums=(0,))
+    def train_step_latents(state, latents, labels, rng):
+        return _train_body(state, latents, labels, rng)
+
+    @jax.jit
+    def eval_step_latents(state, latents, labels):
+        return _eval_body(state, latents, labels)
+
+    train_step.encode = jax.jit(encode)
+    train_step.from_latents = train_step_latents
+    eval_step.from_latents = eval_step_latents
     return train_step, eval_step
 
 

@@ -107,12 +107,46 @@ def train_decoder(args):
         vae, decoder, cfg, cb_weights, compute_dtype=policy.compute_dtype)
     base_rng = jax.random.key(args.seed or 0)
 
+    # --cache_latents: the frozen VAE makes latents a pure function of the
+    # (center-cropped) image; cache them per sample so epochs >= 2 skip the
+    # encode — ~90% of a decoder-train step.  Single-host only: the cache
+    # needs host-local index/latent values, and a multi-host global array
+    # cannot be materialized locally.
+    cache_enabled = (getattr(args, "cache_latents", False)
+                     and jax.process_count() == 1)
+    if getattr(args, "cache_latents", False) and not cache_enabled:
+        print("--cache_latents ignored: multi-host run")
+    latent_cache = {}
+
     def run_train(state, batch, global_step):
         rng = jax.random.fold_in(base_rng, global_step)
-        return train_step(state, vae_params, batch, rng)
+        if not cache_enabled or "index" not in batch:
+            return train_step(state, vae_params, batch, rng)
+        idxs = np.asarray(jax.device_get(batch["index"])).tolist()
+        cached = [latent_cache.get(i) for i in idxs]
+        if all(c is not None for c in cached):
+            latents = shard_batch({"x": np.stack(cached)}, mesh)["x"]
+            return train_step.from_latents(state, latents,
+                                           batch["labels"], rng)
+        latents = train_step.encode(vae_params, batch["pixel_values"])
+        out = train_step.from_latents(state, latents, batch["labels"], rng)
+        for i, lat in zip(idxs, np.asarray(jax.device_get(latents))):
+            latent_cache[i] = lat
+        return out
 
     def run_eval(state, batch, global_step):
-        return eval_step(state, vae_params, batch)
+        if not cache_enabled or "index" not in batch:
+            return eval_step(state, vae_params, batch)
+        idxs = np.asarray(jax.device_get(batch["index"])).tolist()
+        cached = [latent_cache.get(i) for i in idxs]
+        if all(c is not None for c in cached):
+            latents = shard_batch({"x": np.stack(cached)}, mesh)["x"]
+            return eval_step.from_latents(state, latents, batch["labels"])
+        latents = train_step.encode(vae_params, batch["pixel_values"])
+        out = eval_step.from_latents(state, latents, batch["labels"])
+        for i, lat in zip(idxs, np.asarray(jax.device_get(latents))):
+            latent_cache[i] = lat
+        return out
 
     def save_decoder(state, suffix):
         # torch-format export is a plain file write -> main process only
