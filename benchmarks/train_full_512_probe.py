@@ -3,8 +3,9 @@
 
 Measures the triplet train step whose stacked encode batch is 3B=6 rows —
 the case the in-step sublane padding (train/steps.py::_triplet_posterior)
-targets.  Run on the real TPU; per-dispatch timing with distinct batches
-(the step is seconds-scale, so relay RTT is noise here).
+targets.  Run on the real TPU; steps are chained inside ONE compiled scan
+over DISTINCT batches and synced once (per-dispatch timing pays the
+relay's ~100ms RTT per step — a large fraction of a ~160ms step).
 """
 
 from __future__ import annotations
@@ -58,14 +59,24 @@ def main():
         b["positive_labels"] = b["labels"]
         return b
 
-    batches = [mk() for _ in range(4)]
-    state, m = step(state, batches[0], jax.random.key(0))
-    jax.device_get(m["loss"])
+    n = 4
+    batches = jax.tree.map(lambda *xs: jnp.stack(xs), *[mk() for _ in range(n)])
+    keys = jax.random.split(jax.random.key(0), n)
+
+    @jax.jit
+    def chain(state, batches, keys):
+        def body(st, xs):
+            b, key = xs
+            st, m = step(st, b, key)
+            return st, m["loss"]
+        return jax.lax.scan(body, state, (batches, keys))
+
+    st2, losses = chain(state, batches, keys)
+    jax.device_get(losses)
     t0 = time.perf_counter()
-    for i in range(1, 5):
-        state, m = step(state, batches[i % 4], jax.random.key(i))
-        jax.device_get(m["loss"])
-    dt = (time.perf_counter() - t0) / 4
+    st2, losses = chain(state, batches, keys)
+    jax.device_get(losses)
+    dt = (time.perf_counter() - t0) / n
     print(json.dumps({"ms_per_step": round(dt * 1e3, 1),
                       "images_per_sec": round(B / dt, 1)}))
 

@@ -42,7 +42,13 @@ def main():
                         help="cache frozen-VAE latents per sample after the "
                         "first epoch (TPU extension): the encode is ~90%% of "
                         "a decoder-train step and latents are deterministic "
-                        "with the default center crop; epochs >= 2 skip it")
+                        "with the default center crop; epochs >= 2 skip it. "
+                        "Costs host RAM (~latent bytes per sample, e.g. "
+                        "256KB/image at 512px fp32); epoch 1 pays a small "
+                        "per-step sync")
+    parser.add_argument("--cache_latents_max_gb", type=float, default=8.0,
+                        help="host-RAM cap for --cache_latents; beyond it "
+                        "later samples simply stay on the encode path")
     args = parser.parse_args()
 
     from vae_tagger_tpu.train.train_decoder import train_decoder

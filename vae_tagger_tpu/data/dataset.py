@@ -183,27 +183,34 @@ class TaggedImageDataset:
 
     # -- loading -------------------------------------------------------------
     def _load(self, idx: int, bucket_idx: Optional[int] = None) -> np.ndarray:
-        """Load image ``idx``; when ``bucket_idx`` is given, resize into THAT
+        return self._load_checked(idx, bucket_idx)[0]
+
+    def _load_checked(self, idx: int, bucket_idx: Optional[int] = None):
+        """(image, ok).  When ``bucket_idx`` is given, resize into THAT
         sample's bucket (triplet members share the anchor's bucket so one
         batch is a single static shape — the reference loads each member in
-        its own bucket, which breaks collation for batch > 1)."""
+        its own bucket, which breaks collation for batch > 1).  ok=False
+        marks the dummy-image fallback so downstream caches (e.g.
+        --cache_latents) never pin a transient load failure."""
         path = self.image_paths[idx]
         bucket = self.bucket_of(bucket_idx if bucket_idx is not None else idx)
         try:
             return load_and_transform_image(
-                path, resolution=self.resolution, bucket=bucket)
+                path, resolution=self.resolution, bucket=bucket), True
         except Exception as e:
             print(f"warning: could not load image {path}: {e}")
             if bucket is not None:
-                return dummy_image(bucket[0], bucket[1])
-            return dummy_image(self.resolution or 512, self.resolution or 512)
+                return dummy_image(bucket[0], bucket[1]), False
+            return dummy_image(self.resolution or 512,
+                               self.resolution or 512), False
 
     def __getitem__(self, idx: int) -> dict:
-        anchor_img = self._load(idx)
+        anchor_img, load_ok = self._load_checked(idx)
         anchor_labels = self.labels_matrix[idx]
         item = {
             "labels": anchor_labels,
             "index": idx,
+            "load_ok": np.bool_(load_ok),
         }
         if not self.return_triplets:
             # classification mode: the image travels as pixel_values

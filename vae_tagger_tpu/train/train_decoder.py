@@ -117,35 +117,59 @@ def train_decoder(args):
     if getattr(args, "cache_latents", False) and not cache_enabled:
         print("--cache_latents ignored: multi-host run")
     latent_cache = {}
+    cache_state = {"bytes": 0, "capped": False}
+    cache_cap = int(getattr(args, "cache_latents_max_gb", 8) * 1e9)
+
+    def _batch_latents(batch):
+        """Cached latents for a batch, or (encoded latents, populate fn).
+
+        Returns (latents_on_device, None) on a full cache hit; otherwise
+        (encoded latents, store) where calling store() inserts the rows into
+        the cache — skipping dummy-image fallbacks (load_ok False), which
+        must not be pinned past a transient failure, and respecting the RAM
+        cap (partially-warm caches are still correct, just less fast)."""
+        idxs = np.asarray(jax.device_get(batch["index"])).tolist()
+        cached = [latent_cache.get(i) for i in idxs]
+        if all(c is not None for c in cached):
+            return shard_batch({"x": np.stack(cached)}, mesh)["x"], None
+        latents = train_step.encode(vae_params, batch["pixel_values"])
+
+        def store():
+            ok = (np.asarray(jax.device_get(batch["load_ok"]))
+                  if "load_ok" in batch else np.ones(len(idxs), bool))
+            for i, lat, good in zip(idxs, np.asarray(
+                    jax.device_get(latents)), ok):
+                if not good or i in latent_cache:
+                    continue
+                if cache_state["bytes"] + lat.nbytes > cache_cap:
+                    if not cache_state["capped"]:
+                        cache_state["capped"] = True
+                        print(f"latent cache reached --cache_latents_max_gb "
+                              f"({cache_cap / 1e9:.1f} GB); later samples "
+                              f"stay on the encode path")
+                    return
+                latent_cache[i] = lat
+                cache_state["bytes"] += lat.nbytes
+
+        return latents, store
 
     def run_train(state, batch, global_step):
         rng = jax.random.fold_in(base_rng, global_step)
         if not cache_enabled or "index" not in batch:
             return train_step(state, vae_params, batch, rng)
-        idxs = np.asarray(jax.device_get(batch["index"])).tolist()
-        cached = [latent_cache.get(i) for i in idxs]
-        if all(c is not None for c in cached):
-            latents = shard_batch({"x": np.stack(cached)}, mesh)["x"]
-            return train_step.from_latents(state, latents,
-                                           batch["labels"], rng)
-        latents = train_step.encode(vae_params, batch["pixel_values"])
+        latents, store = _batch_latents(batch)
         out = train_step.from_latents(state, latents, batch["labels"], rng)
-        for i, lat in zip(idxs, np.asarray(jax.device_get(latents))):
-            latent_cache[i] = lat
+        if store is not None:
+            store()
         return out
 
     def run_eval(state, batch, global_step):
         if not cache_enabled or "index" not in batch:
             return eval_step(state, vae_params, batch)
-        idxs = np.asarray(jax.device_get(batch["index"])).tolist()
-        cached = [latent_cache.get(i) for i in idxs]
-        if all(c is not None for c in cached):
-            latents = shard_batch({"x": np.stack(cached)}, mesh)["x"]
-            return eval_step.from_latents(state, latents, batch["labels"])
-        latents = train_step.encode(vae_params, batch["pixel_values"])
+        latents, store = _batch_latents(batch)
         out = eval_step.from_latents(state, latents, batch["labels"])
-        for i, lat in zip(idxs, np.asarray(jax.device_get(latents))):
-            latent_cache[i] = lat
+        if store is not None:
+            store()
         return out
 
     def save_decoder(state, suffix):
