@@ -217,8 +217,10 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dmat_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("block_q", "block_k"))
-def _flash_attention_bwd_impl(q, k, v, o, lse, g, block_q: int = 256,
-                              block_k: int = 256):
+def _flash_attention_bwd_impl(q, k, v, o, lse, g, block_q: int = 512,
+                              block_k: int = 1024):
+    # swept at the 16,384-token mid block (batch 4, bf16): (256,256) 28.2ms,
+    # (512,512) 25.9, (512,1024) 25.3 — see docs/PERF.md
     b, s, d = q.shape
     scale = 1.0 / (d ** 0.5)
     block_q = min(block_q, _round_up(s, 128))
