@@ -19,18 +19,30 @@ def main():
     p.add_argument("--decoder_checkpoint", type=str, required=True)
     p.add_argument("--tags_csv_path", type=str, required=True)
     p.add_argument("--vae_config_path", type=str, default=None)
-    p.add_argument("--resolution", type=int, default=1024)
+    p.add_argument("--resolution", type=int, nargs="+", default=[1024],
+                   help="served resolution(s); the first is the default, "
+                        "others are selectable via POST /classify?resolution=N")
     p.add_argument("--confidence_threshold", type=float, default=0.5)
-    p.add_argument("--host", type=str, default="0.0.0.0")
+    p.add_argument("--host", type=str, default="127.0.0.1",
+                   help="bind address (no auth — 0.0.0.0 is an explicit "
+                        "opt-in)")
     p.add_argument("--port", type=int, default=8000)
-    p.add_argument("--max_batch", type=int, default=8)
+    p.add_argument("--max_batch", type=int, default=None,
+                   help="micro-batch size; default 8 * device_count")
     p.add_argument("--batch_timeout_ms", type=float, default=10.0)
     p.add_argument("--request_timeout_s", type=float, default=600.0)
+    p.add_argument("--max_body_mb", type=float, default=32.0,
+                   help="requests larger than this get 413 before the body "
+                        "is read")
+    p.add_argument("--max_queue", type=int, default=64,
+                   help="pending-request cap; beyond it requests get 503")
     p.add_argument("--no_warmup", action="store_true")
     p.add_argument("--no_attention", action="store_true")
     p.add_argument("--mixed_precision", type=str, default=None,
                    choices=[None, "no", "fp16", "bf16"])
     args = p.parse_args()
+
+    import jax
 
     from vae_tagger_tpu.infer.engine import TaggerEngine
     from vae_tagger_tpu.serve import TaggerServer
@@ -42,13 +54,17 @@ def main():
         vae_config_path=args.vae_config_path,
         use_attention=not args.no_attention,
         mixed_precision=args.mixed_precision)
-    server = TaggerServer(engine, resolution=args.resolution,
+    # micro-batch scales with the mesh: 8 sublane rows per device
+    max_batch = args.max_batch or 8 * jax.device_count()
+    server = TaggerServer(engine, resolution=tuple(args.resolution),
                           threshold=args.confidence_threshold,
                           host=args.host, port=args.port,
-                          max_batch=args.max_batch,
+                          max_batch=max_batch,
                           batch_timeout_ms=args.batch_timeout_ms,
                           request_timeout_s=args.request_timeout_s,
-                          warmup=not args.no_warmup)
+                          warmup=not args.no_warmup,
+                          max_body_bytes=int(args.max_body_mb * 1024 * 1024),
+                          max_queue=args.max_queue)
     server.serve_forever()
 
 

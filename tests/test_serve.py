@@ -131,3 +131,100 @@ def test_http_bad_image_is_400(engine):
         with pytest.raises(urllib.error.HTTPError) as ei:
             urllib.request.urlopen(req, timeout=30)
         assert ei.value.code == 400
+
+
+def test_http_oversized_body_is_413(engine):
+    with TaggerServer(engine, resolution=64, host="127.0.0.1", port=0,
+                      max_body_bytes=1024) as server:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{server.port}/classify",
+            data=b"x" * 2048, method="POST")
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=30)
+        assert ei.value.code == 413
+
+
+def test_http_multi_resolution_programs(engine):
+    with TaggerServer(engine, resolution=(64, 32), threshold=0.0,
+                      host="127.0.0.1", port=0, max_batch=2,
+                      batch_timeout_ms=5) as server:
+        base = f"http://127.0.0.1:{server.port}"
+        with urllib.request.urlopen(f"{base}/healthz", timeout=30) as r:
+            health = json.load(r)
+        assert health["resolution"] == 64
+        assert health["resolutions"] == [32, 64]
+        for query in ("", "?resolution=32"):
+            req = urllib.request.Request(f"{base}/classify{query}",
+                                         data=_jpeg_bytes(), method="POST")
+            with urllib.request.urlopen(req, timeout=120) as r:
+                out = json.load(r)
+            assert "predicted_tags" in out
+        req = urllib.request.Request(f"{base}/classify?resolution=999",
+                                     data=_jpeg_bytes(), method="POST")
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=30)
+        assert ei.value.code == 400
+
+
+class _StallingEngine:
+    """engine.classify blocks until released — drives queue-full tests."""
+
+    def __init__(self, num_tags=4):
+        self.tag_names = [f"t{i}" for i in range(num_tags)]
+        self.release = __import__("threading").Event()
+
+    def classify(self, pixels):
+        self.release.wait(timeout=60)
+        return np.zeros((pixels.shape[0], len(self.tag_names)), np.float32)
+
+
+def test_worker_backpressure_queue_full():
+    from vae_tagger_tpu.serve import QueueFullError
+
+    stalled = _StallingEngine()
+    worker = BatchingWorker(stalled, max_batch=1, batch_timeout_ms=1,
+                            max_queue=2)
+    try:
+        px = np.zeros((8, 8, 3), np.uint8)
+        with concurrent.futures.ThreadPoolExecutor(4) as ex:
+            # one request occupies the worker; two fill the queue
+            futs = [ex.submit(worker.submit, px) for _ in range(3)]
+            import time
+
+            time.sleep(0.3)  # let them enqueue
+            with pytest.raises(QueueFullError):
+                worker.submit(px)
+            stalled.release.set()
+            for f in futs:
+                assert f.result(timeout=60).shape == (4,)
+    finally:
+        worker.stop()
+
+
+def test_worker_stop_fails_pending_fast():
+    """stop() with the worker wedged in classify: queued requests fail
+    immediately instead of waiting out their 600s request timeout."""
+    import time
+
+    stalled = _StallingEngine()
+    worker = BatchingWorker(stalled, max_batch=1, batch_timeout_ms=1,
+                            request_timeout_s=600, max_queue=8)
+    worker._join_timeout = 0.5  # don't wait on the wedged worker in the test
+    px = np.zeros((8, 8, 3), np.uint8)
+    with concurrent.futures.ThreadPoolExecutor(3) as ex:
+        futs = [ex.submit(worker.submit, px)]
+        time.sleep(0.3)  # worker takes item 1 and wedges in classify
+        futs += [ex.submit(worker.submit, px) for _ in range(2)]
+        time.sleep(0.3)  # items 2+3 sit in the queue
+        t0 = time.monotonic()
+        worker.stop()
+        # the two queued-but-never-run requests fail right away
+        failed = 0
+        for f in futs[1:]:
+            with pytest.raises(RuntimeError):
+                f.result(timeout=10)
+            failed += 1
+        assert failed == 2
+        assert time.monotonic() - t0 < 10
+        stalled.release.set()  # unwedge; request 1 completes normally
+        assert futs[0].result(timeout=60).shape == (4,)

@@ -76,7 +76,8 @@ class TaggedImageDataset:
                  max_resolution: int = 1024, bucket_step: int = 64,
                  return_triplets: bool = True,
                  max_candidates: int = 100,
-                 seed: Optional[int] = None):
+                 seed: Optional[int] = None,
+                 crop_mode: str = "center"):
         with open(json_path, "r", encoding="utf-8") as f:
             self.data = json.load(f)
         self.tags = load_tag_names(tags_csv_path)
@@ -84,6 +85,11 @@ class TaggedImageDataset:
         self.idx_to_tag = {i: t for t, i in self.tag_to_idx.items()}
         self.image_paths: List[str] = list(self.data.keys())
         self.resolution = resolution
+        # deterministic 'center' is the default; anything stochastic (e.g.
+        # 'random' crops) makes samples non-reproducible, which downstream
+        # caches key on — train_decoder disables --cache_latents unless this
+        # is 'center'
+        self.crop_mode = crop_mode
         self.return_triplets = return_triplets
         self.max_candidates = max_candidates
         self._seed = seed if seed is not None else 0
@@ -196,7 +202,8 @@ class TaggedImageDataset:
         bucket = self.bucket_of(bucket_idx if bucket_idx is not None else idx)
         try:
             return load_and_transform_image(
-                path, resolution=self.resolution, bucket=bucket), True
+                path, resolution=self.resolution, bucket=bucket,
+                crop_mode=self.crop_mode), True
         except Exception as e:
             print(f"warning: could not load image {path}: {e}")
             if bucket is not None:

@@ -165,7 +165,9 @@ def decode_jpeg_resize(data: bytes, target_width: int, target_height: int,
     a full decode, which matches PIL-decode + native-resize exactly).
     ``crop_offset`` for 'random' mode is in FULL-RESOLUTION coordinates.
     With ``reject_full_scale`` the call returns None (without decoding) when
-    DCT scaling cannot engage — the scale decision stays in C++.
+    DCT scaling cannot engage — the scale decision stays in C++.  q=0
+    overrides ``reject_full_scale``: an explicit full-decode request always
+    decodes.
     """
     lib = _load()
     if lib is None or not hasattr(lib, "vt_jpeg_decode_resize"):

@@ -73,7 +73,8 @@ int vt_jpeg_info(const uint8_t* data, size_t len, int* h, int* w) {
 // matching a PIL decode + native resize).  reject_full_scale != 0 makes the
 // call return 1 WITHOUT decoding when only a full-scale decode is possible
 // (callers that prefer PIL's marginally faster full decode use this instead
-// of mirroring the scale-selection math).  Returns 0 ok, 1 rejected,
+// of mirroring the scale-selection math); q=0 overrides it — an explicit
+// full-decode request is never rejected.  Returns 0 ok, 1 rejected,
 // <0 error.
 int vt_jpeg_decode_resize(const uint8_t* data, size_t len,
                           uint8_t* dst, int dst_h, int dst_w,
@@ -129,7 +130,7 @@ int vt_jpeg_decode_resize(const uint8_t* data, size_t len,
       }
     }
   }
-  if (m >= 8 && reject_full_scale) {
+  if (m >= 8 && reject_full_scale && quality_factor > 0) {
     jpeg_destroy_decompress(&cinfo);
     return 1;
   }

@@ -1,3 +1,3 @@
-from .server import BatchingWorker, TaggerServer
+from .server import BatchingWorker, QueueFullError, TaggerServer
 
-__all__ = ["BatchingWorker", "TaggerServer"]
+__all__ = ["BatchingWorker", "QueueFullError", "TaggerServer"]

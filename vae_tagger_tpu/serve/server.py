@@ -8,12 +8,25 @@ or ``batch_timeout_ms``, whichever first), so concurrent clients share one
 compiled program at full-batch throughput instead of paying batch-1
 dispatches.
 
+Robustness (these hosts have 1 CPU core and the server fronts a TPU):
+- binds 127.0.0.1 by default — there is no auth; exposing the chip to the
+  network is an explicit ``host="0.0.0.0"`` opt-in;
+- requests larger than ``max_body_bytes`` are rejected with 413 BEFORE the
+  body is read (one oversized upload must not exhaust RAM);
+- the batching queue is bounded: when ``max_queue`` requests are already
+  waiting, new ones get 503 + Retry-After instead of growing an unbounded
+  backlog whose clients will time out anyway (backpressure);
+- shutdown fails all queued requests fast instead of leaving their handler
+  threads blocked until the request timeout.
+
 Pure-stdlib (http.server + threads): nothing to install on TPU hosts.
 
 Endpoints:
-  POST /classify   body = raw image bytes -> per-image JSON in the exact
+  POST /classify[?resolution=N]
+                   body = raw image bytes -> per-image JSON in the exact
                    ``classification_results.json`` entry schema
-                   (infer/classify.py::_format_results)
+                   (infer/classify.py::_format_results).  ``resolution``
+                   must be one of the server's compiled resolutions.
   GET  /healthz    liveness + model info
   GET  /tags       the tag vocabulary
 """
@@ -22,16 +35,22 @@ from __future__ import annotations
 
 import io
 import json
-import queue
 import threading
+import time
+import urllib.parse
+from collections import deque
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from typing import Optional
+from typing import Dict, Optional, Sequence, Tuple
 
 import numpy as np
 from PIL import Image
 
 from ..infer.classify import _format_results
 from ..infer.engine import TaggerEngine
+
+
+class QueueFullError(Exception):
+    """Raised by submit() when the bounded request queue is full."""
 
 
 class _Pending:
@@ -45,26 +64,49 @@ class _Pending:
 
 
 class BatchingWorker:
-    """Coalesces concurrent classify requests into one device batch."""
+    """Coalesces concurrent classify requests into one device batch.
+
+    Requests are grouped by pixel shape (one compiled program per
+    resolution); a bounded total queue applies backpressure across all
+    shapes.
+    """
 
     def __init__(self, engine: TaggerEngine, max_batch: int = 8,
                  batch_timeout_ms: float = 10.0,
-                 request_timeout_s: float = 600.0):
+                 request_timeout_s: float = 600.0,
+                 max_queue: int = 64):
         self.engine = engine
         self.max_batch = max(1, max_batch)
         self.timeout_s = max(0.0, batch_timeout_ms) / 1000.0
         self.request_timeout_s = request_timeout_s
-        self.queue: "queue.Queue[_Pending]" = queue.Queue()
-        self._stop = threading.Event()
+        self.max_queue = max(1, max_queue)
+        # per-shape FIFO queues under one lock/condition: the worker batches
+        # same-shape requests together (mixed shapes cannot share a program)
+        self._queues: Dict[Tuple[int, ...], deque] = {}
+        self._size = 0
+        self._cond = threading.Condition()
+        self._stop = False
+        self._join_timeout = 10.0
         self.thread = threading.Thread(target=self._run, daemon=True,
                                        name="tagger-batcher")
         self.thread.start()
 
     def submit(self, pixels: np.ndarray,
                timeout: Optional[float] = None) -> np.ndarray:
-        """(H, W, 3) uint8 -> (num_tags,) probabilities.  Blocking."""
+        """(H, W, 3) uint8 -> (num_tags,) probabilities.  Blocking.
+
+        Raises QueueFullError immediately when max_queue requests are
+        already pending (callers translate to 503)."""
         item = _Pending(pixels)
-        self.queue.put(item)
+        with self._cond:
+            if self._stop:
+                raise RuntimeError("server is shutting down")
+            if self._size >= self.max_queue:
+                raise QueueFullError(
+                    f"request queue full ({self.max_queue} pending)")
+            self._queues.setdefault(tuple(pixels.shape), deque()).append(item)
+            self._size += 1
+            self._cond.notify()
         if not item.event.wait(timeout or self.request_timeout_s):
             raise TimeoutError("classify request timed out")
         if item.error is not None:
@@ -72,25 +114,66 @@ class BatchingWorker:
         return item.probs
 
     def stop(self):
-        self._stop.set()
-        self.queue.put(None)  # wake the worker
-        self.thread.join(timeout=5)
+        with self._cond:
+            self._stop = True
+            self._cond.notify_all()
+        self.thread.join(timeout=self._join_timeout)
+        # fail whatever is still queued so handler threads blocked in
+        # submit() return immediately instead of waiting out their timeout
+        with self._cond:
+            leftovers = [it for q in self._queues.values() for it in q]
+            self._queues.clear()
+            self._size = 0
+        err = RuntimeError("server shut down before the request ran")
+        for item in leftovers:
+            item.error = err
+            item.event.set()
+
+    def _take_batch(self):
+        """Blocks for work, then drains up to max_batch SAME-SHAPE items.
+
+        Returns a list of _Pending or None on stop.  The coalescing window
+        (timeout_s) only waits when the batch is not yet full."""
+        with self._cond:
+            while self._size == 0:
+                if self._stop:
+                    return None
+                self._cond.wait(timeout=0.5)
+            # largest backlog first: drains the dominant shape at full batch
+            shape = max(self._queues, key=lambda s: len(self._queues[s]))
+            batch = self._pop_shape(shape, self.max_batch)
+        deadline = time.monotonic() + self.timeout_s
+        while len(batch) < self.max_batch:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                break
+            with self._cond:
+                if not self._queues.get(shape):
+                    if self._stop:
+                        break
+                    self._cond.wait(timeout=remaining)
+                batch.extend(self._pop_shape(
+                    shape, self.max_batch - len(batch)))
+        return batch
+
+    def _pop_shape(self, shape, k):
+        """Under self._cond: pop up to k items of one shape."""
+        q = self._queues.get(shape)
+        out = []
+        while q and len(out) < k:
+            out.append(q.popleft())
+            self._size -= 1
+        if q is not None and not q:
+            del self._queues[shape]
+        return out
 
     def _run(self):
-        while not self._stop.is_set():
-            first = self.queue.get()
-            if first is None:
+        while True:
+            batch = self._take_batch()
+            if batch is None:
+                return
+            if not batch:
                 continue
-            batch = [first]
-            # drain until the batch is full or the coalescing window closes
-            while len(batch) < self.max_batch:
-                try:
-                    nxt = self.queue.get(timeout=self.timeout_s)
-                except queue.Empty:
-                    break
-                if nxt is None:
-                    break
-                batch.append(nxt)
             try:
                 probs = self.engine.classify(
                     np.stack([b.pixels for b in batch]))
@@ -105,16 +188,22 @@ class BatchingWorker:
 
 
 def _make_handler(worker: BatchingWorker, engine: TaggerEngine,
-                  resolution: int, threshold: float):
+                  resolutions: Sequence[int], threshold: float,
+                  max_body_bytes: int):
+    default_resolution = resolutions[0]
+    allowed = set(resolutions)
+
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *args):  # quiet by default
             pass
 
-        def _json(self, code: int, payload: dict):
+        def _json(self, code: int, payload: dict, headers=()):
             body = json.dumps(payload, ensure_ascii=False).encode()
             self.send_response(code)
             self.send_header("Content-Type", "application/json")
             self.send_header("Content-Length", str(len(body)))
+            for k, v in headers:
+                self.send_header(k, v)
             self.end_headers()
             self.wfile.write(body)
 
@@ -122,18 +211,45 @@ def _make_handler(worker: BatchingWorker, engine: TaggerEngine,
             if self.path == "/healthz":
                 self._json(200, {"status": "ok",
                                  "num_tags": len(engine.tag_names),
-                                 "resolution": resolution})
+                                 "resolution": default_resolution,
+                                 "resolutions": sorted(allowed)})
             elif self.path == "/tags":
                 self._json(200, {"tags": engine.tag_names})
             else:
                 self._json(404, {"error": "unknown path"})
 
         def do_POST(self):
-            if self.path != "/classify":
+            parsed = urllib.parse.urlparse(self.path)
+            if parsed.path != "/classify":
                 self._json(404, {"error": "unknown path"})
                 return
+            resolution = default_resolution
+            qs = urllib.parse.parse_qs(parsed.query)
+            if "resolution" in qs:
+                try:
+                    resolution = int(qs["resolution"][0])
+                except ValueError:
+                    self._json(400, {"error": "bad resolution"})
+                    return
+                if resolution not in allowed:
+                    self._json(400, {
+                        "error": f"resolution {resolution} not served",
+                        "resolutions": sorted(allowed)})
+                    return
             try:
                 length = int(self.headers.get("Content-Length", "0"))
+            except ValueError:
+                self._json(400, {"error": "bad Content-Length"})
+                return
+            if length <= 0:
+                self._json(400, {"error": "empty body"})
+                return
+            if length > max_body_bytes:
+                # reject BEFORE reading: the body is never buffered
+                self._json(413, {"error": f"body exceeds "
+                                          f"{max_body_bytes} bytes"})
+                return
+            try:
                 data = self.rfile.read(length)
                 # reference inference transform: square distorting BILINEAR
                 # resize (modules.py:136-140); normalize happens on device
@@ -146,6 +262,10 @@ def _make_handler(worker: BatchingWorker, engine: TaggerEngine,
                 return
             try:
                 probs = worker.submit(pixels)
+            except QueueFullError as e:
+                self._json(503, {"error": str(e)},
+                           headers=[("Retry-After", "1")])
+                return
             except Exception as e:
                 self._json(500, {"error": f"inference failed: {e}"})
                 return
@@ -156,24 +276,36 @@ def _make_handler(worker: BatchingWorker, engine: TaggerEngine,
 
 
 class TaggerServer:
-    """Owns the HTTP server + batching worker; ``with`` or serve_forever."""
+    """Owns the HTTP server + batching worker; ``with`` or serve_forever.
 
-    def __init__(self, engine: TaggerEngine, resolution: int = 1024,
-                 threshold: float = 0.5, host: str = "0.0.0.0",
+    ``resolution`` may be an int or a sequence of ints; the first is the
+    default and each one gets its own compiled program (selected per request
+    via ``POST /classify?resolution=N``).
+    """
+
+    def __init__(self, engine: TaggerEngine, resolution=1024,
+                 threshold: float = 0.5, host: str = "127.0.0.1",
                  port: int = 8000, max_batch: int = 8,
                  batch_timeout_ms: float = 10.0,
-                 request_timeout_s: float = 600.0, warmup: bool = True):
+                 request_timeout_s: float = 600.0, warmup: bool = True,
+                 max_body_bytes: int = 32 * 1024 * 1024,
+                 max_queue: int = 64):
+        resolutions = ((resolution,) if isinstance(resolution, int)
+                       else tuple(resolution))
+        if not resolutions:
+            raise ValueError("need at least one resolution")
         if warmup:
-            # compile the padded device-batch program BEFORE accepting
+            # compile the padded device-batch program(s) BEFORE accepting
             # requests: first-compile takes minutes through a remote-compile
             # relay, and a cold server would 500 every early request on its
             # submit timeout while discarding the computed batch
-            print(f"warming up the {resolution}px classify program ...")
-            engine.classify(np.zeros((1, resolution, resolution, 3),
-                                     dtype=np.uint8))
+            for r in resolutions:
+                print(f"warming up the {r}px classify program ...")
+                engine.classify(np.zeros((1, r, r, 3), dtype=np.uint8))
         self.worker = BatchingWorker(engine, max_batch, batch_timeout_ms,
-                                     request_timeout_s)
-        handler = _make_handler(self.worker, engine, resolution, threshold)
+                                     request_timeout_s, max_queue=max_queue)
+        handler = _make_handler(self.worker, engine, resolutions, threshold,
+                                max_body_bytes)
         self.httpd = ThreadingHTTPServer((host, port), handler)
         self.port = self.httpd.server_address[1]
 
