@@ -32,6 +32,15 @@ def main():
     parser.add_argument("--confidence_threshold", type=float, default=0.5)
     parser.add_argument("--batch_size", type=int, default=8,
                         help="device batch size (TPU extension)")
+    parser.add_argument("--num_workers", type=int, default=4,
+                        help="decode threads overlapping the device "
+                             "(TPU extension)")
+    parser.add_argument("--prefetch_factor", type=int, default=2,
+                        help="batches staged ahead of the device "
+                             "(TPU extension)")
+    parser.add_argument("--no_data_parallel", action="store_true",
+                        help="disable automatic SPMD sharding of inference "
+                             "batches across all local devices")
     parser.add_argument("--mixed_precision", type=str, default=None)
     add_attention_args(parser)
     parser.add_argument("--model_checkpoint", type=str, default=None,
@@ -47,7 +56,22 @@ def main():
         args.decoder_checkpoint = (args.decoder_checkpoint
                                    or args.model_checkpoint)
 
+    import jax
+
     from vae_tagger_tpu.infer import TaggerEngine, infer_and_classify
+
+    # data-parallel inference by default on multi-device hosts: params
+    # replicate, batches shard P('data') (reference parity: accelerate
+    # launch multi-GPU inference)
+    mesh = None
+    batch_size = args.batch_size
+    if jax.device_count() > 1 and not args.no_data_parallel:
+        from vae_tagger_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh()
+        batch_size = max(batch_size, 8 * mesh.size)
+        print(f"data-parallel inference over {mesh.size} devices "
+              f"(batch {batch_size})")
 
     engine = TaggerEngine.load(
         vae_checkpoint=args.vae_checkpoint,
@@ -57,12 +81,15 @@ def main():
         use_attention=args.use_attention,
         attention_config=attention_config,
         mixed_precision=args.mixed_precision,
+        mesh=mesh,
     )
     infer_and_classify(
         engine, args.image_path, output_dir=args.output_dir,
         resolution=args.resolution,
         confidence_threshold=args.confidence_threshold,
-        batch_size=args.batch_size)
+        batch_size=batch_size,
+        num_workers=args.num_workers,
+        prefetch_factor=args.prefetch_factor)
 
 
 if __name__ == "__main__":

@@ -19,6 +19,12 @@ def main():
     parser.add_argument("--resolution", type=int, default=1024)
     parser.add_argument("--batch_size", type=int, default=8,
                         help="device batch size (TPU extension)")
+    parser.add_argument("--num_workers", type=int, default=4,
+                        help="decode threads overlapping the device "
+                             "(TPU extension)")
+    parser.add_argument("--prefetch_factor", type=int, default=2,
+                        help="batches staged ahead of the device "
+                             "(TPU extension)")
     parser.add_argument("--mixed_precision", type=str, default=None)
     args = parser.parse_args()
 
@@ -31,7 +37,9 @@ def main():
     infer_and_save_latents(engine, args.image_path,
                            output_dir=args.output_dir,
                            resolution=args.resolution,
-                           batch_size=args.batch_size)
+                           batch_size=args.batch_size,
+                           num_workers=args.num_workers,
+                           prefetch_factor=args.prefetch_factor)
 
 
 if __name__ == "__main__":

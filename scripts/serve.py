@@ -47,7 +47,17 @@ def main():
     from vae_tagger_tpu.infer.engine import TaggerEngine
     from vae_tagger_tpu.serve import TaggerServer
 
+    # multi-device hosts serve SPMD: one program spanning all chips, batch
+    # sharded P('data'); max_batch below scales to keep every chip fed
+    mesh = None
+    if jax.device_count() > 1:
+        from vae_tagger_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh()
+        print(f"serving data-parallel over {mesh.size} devices")
+
     engine = TaggerEngine.load(
+        mesh=mesh,
         vae_checkpoint=args.vae_checkpoint,
         decoder_checkpoint=args.decoder_checkpoint,
         tags_csv_path=args.tags_csv_path,

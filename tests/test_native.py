@@ -133,3 +133,133 @@ def test_loader_one_call_jpeg_path(tmp_path):
     img = Image.open(p).convert("RGB")
     ref = np.asarray(SmartResize(128, 128)(img))
     assert np.abs(out.astype(int) - ref.astype(int)).mean() < 1.5
+
+
+# ---------------------------------------------------------------------------
+# PNG / WebP decode paths + filter selection (round 3)
+# ---------------------------------------------------------------------------
+
+png_needed = pytest.mark.skipif(not native.decode_available("png"),
+                                reason="native png decoder unavailable")
+webp_needed = pytest.mark.skipif(not native.decode_available("webp"),
+                                 reason="native webp decoder unavailable")
+
+
+def _encoded(fmt, img, **kw):
+    import io
+
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, fmt, **kw)
+    return buf.getvalue()
+
+
+@png_needed
+def test_png_decode_matches_pil_decode_exactly():
+    """libpng and PIL produce identical RGB pixels; the fused call therefore
+    equals PIL-decode + native-resize byte for byte."""
+    data = _encoded("PNG", _smooth_image(300, 400))
+    assert native.image_info(data) == (300, 400)
+    out = native.decode_png_resize(data, 128, 96)
+    pil = np.asarray(Image.open(__import__("io").BytesIO(data)).convert("RGB"))
+    assert np.array_equal(out, native.smart_resize(pil, 128, 96))
+
+
+@png_needed
+def test_png_alpha_is_dropped_not_composited():
+    """PIL convert("RGB") drops the alpha band; the native path must match
+    even for translucent pixels."""
+    import io
+
+    rng = np.random.default_rng(3)
+    rgba = np.dstack([_smooth_image(120, 160, seed=3),
+                      rng.integers(0, 256, (120, 160), dtype=np.uint8)])
+    buf = io.BytesIO()
+    Image.fromarray(rgba, "RGBA").save(buf, "PNG")
+    data = buf.getvalue()
+    out = native.decode_png_resize(data, 64, 48)
+    pil = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+    assert np.array_equal(out, native.smart_resize(pil, 64, 48))
+
+
+@png_needed
+def test_png_palette_and_gray_expand():
+    import io
+
+    gray = _smooth_image(100, 100)[:, :, 0]
+    buf = io.BytesIO()
+    Image.fromarray(gray, "L").save(buf, "PNG")
+    out = native.decode_png_resize(buf.getvalue(), 64, 64)
+    pil = np.asarray(Image.open(io.BytesIO(buf.getvalue())).convert("RGB"))
+    assert np.array_equal(out, native.smart_resize(pil, 64, 64))
+    pal = Image.fromarray(_smooth_image(90, 110)).quantize(64)
+    buf = io.BytesIO()
+    pal.save(buf, "PNG")
+    out = native.decode_png_resize(buf.getvalue(), 64, 48)
+    pil = np.asarray(Image.open(io.BytesIO(buf.getvalue())).convert("RGB"))
+    assert np.array_equal(out, native.smart_resize(pil, 64, 48))
+
+
+@webp_needed
+def test_webp_lossless_decode_matches_pil_exactly():
+    data = _encoded("WEBP", _smooth_image(200, 300), lossless=True)
+    assert native.image_info(data) == (200, 300)
+    out = native.decode_webp_resize(data, 96, 64)
+    pil = np.asarray(Image.open(__import__("io").BytesIO(data)).convert("RGB"))
+    assert np.array_equal(out, native.smart_resize(pil, 96, 64))
+
+
+@decode_needed
+def test_decode_image_resize_dispatches_by_magic():
+    img = _smooth_image(150, 200)
+    for fmt, kw in [("JPEG", {"quality": 92}), ("PNG", {}),
+                    ("WEBP", {"lossless": True})]:
+        if not native.decode_available(fmt.lower().replace("jpeg", "jpeg")):
+            continue
+        data = _encoded(fmt, img, **kw)
+        out = native.decode_image_resize(data, 64, 64)
+        assert out is not None and out.shape == (64, 64, 3), fmt
+    assert native.decode_image_resize(b"\x00\x01not-an-image", 64, 64) is None
+
+
+def test_bilinear_distort_matches_pil_square_resize():
+    """The reference's inference transform: distorting BILINEAR square
+    resize (modules.py:136-140).  Native within ±1 of PIL."""
+    src = _smooth_image(300, 400)
+    out = native.smart_resize(src, 64, 64, "distort", resample="bilinear")
+    ref = np.asarray(Image.fromarray(src).resize((64, 64), Image.BILINEAR))
+    assert np.abs(out.astype(int) - ref.astype(int)).max() <= 1
+
+
+@decode_needed
+def test_loader_square_path_uses_native_bilinear(tmp_path):
+    """resolution= (inference) loading routes through the fused native
+    decode with the bilinear filter and stays within ±1 of the PIL path."""
+    from vae_tagger_tpu.data.bucketing import load_and_transform_image
+
+    src = _smooth_image(300, 400)
+    for name, fmt in [("a.jpg", "JPEG"), ("a.png", "PNG")]:
+        if fmt == "PNG" and not native.decode_available("png"):
+            continue
+        p = tmp_path / name
+        Image.fromarray(src).save(p)
+        out = load_and_transform_image(str(p), resolution=64)
+        img = Image.open(p).convert("RGB")
+        ref = np.asarray(img.resize((64, 64), Image.BILINEAR))
+        diff = np.abs(out.astype(int) - ref.astype(int))
+        # JPEG may engage DCT scaling (q>=2 guard keeps it close)
+        assert diff.mean() < 1.0, (name, diff.mean())
+
+
+@png_needed
+def test_loader_one_call_png_path(tmp_path):
+    """Bucket-mode loading of a PNG goes through the one-call native decode
+    (round-2 gap: PNG fell back to PIL) and matches the PIL pipeline."""
+    from vae_tagger_tpu.data.bucketing import load_and_transform_image
+
+    src = _smooth_image(600, 450)
+    p = tmp_path / "img.png"
+    Image.fromarray(src).save(p)
+    out = load_and_transform_image(str(p), bucket=(128, 128))
+    assert out.shape == (128, 128, 3) and out.dtype == np.uint8
+    ref = np.asarray(SmartResize(128, 128)(Image.open(p).convert("RGB")))
+    assert np.abs(out.astype(int) - ref.astype(int)).max() <= 3

@@ -157,39 +157,42 @@ def _native_smart_resize(img: Image.Image, width: int, height: int,
         return None
 
 
-def _native_decode_resize(path, width: int, height: int, crop_mode: str):
-    """One-call JPEG decode + crop + Lanczos via the C++ library
-    (vae_tagger_tpu/native/decode.cpp).  DCT-domain scaling keeps the
-    decode >= 2x the target, which cuts the dominant host cost on 1-core
-    hosts ~2x+ vs a full PIL decode.  Returns (result_or_None, bytes_or_None);
-    the bytes let the PIL fallback skip a second disk read."""
+def _native_decode_resize(path, width: int, height: int, crop_mode: str,
+                          resample: str = "lanczos"):
+    """One-call decode + crop + resample via the C++ library
+    (vae_tagger_tpu/native/decode.cpp): JPEG, PNG, and WebP, dispatched by
+    magic bytes.  For JPEG, DCT-domain scaling keeps the decode >= 2x the
+    target when possible.  Returns (result_or_None, bytes_or_None); the
+    bytes let the PIL fallback skip a second disk read.
+
+    Fused-path policy (re-measured round 3 on this host, 1536x1152 source
+    -> 1024px target): the fused call wins for every format, INCLUDING
+    full-scale JPEG (35.0 ms vs 38.2 pure-PIL — the round-2
+    reject_full_scale policy predated the dispatch rework and no longer
+    holds), PNG 85 vs 122 ms, WebP 39 vs 50 ms.
+    """
     try:
         from .. import native
     except Exception:
         return None, None
-    if not native.decode_available():
-        return None, None
     try:
         with open(path, "rb") as f:
             data = f.read()
-        if data[:2] != b"\xff\xd8":  # JPEG magic; PNG/WebP stay on PIL
+        fmt = native.sniff_format(data)
+        if fmt is None or fmt not in native.decode_formats():
             return None, data
         offset = (0, 0)
         if crop_mode == "random":
-            oh, ow = native.jpeg_info(data)
+            oh, ow = native.image_info(data)
             target_ratio = width / height
             original_ratio = ow / oh
             if original_ratio > target_ratio:
                 offset = (random.randint(0, ow - int(oh * target_ratio)), 0)
             elif original_ratio < target_ratio:
                 offset = (0, random.randint(0, oh - int(ow / target_ratio)))
-        # reject_full_scale: the one-call path only wins when libjpeg can
-        # decode at a reduced DCT scale; at full scale PIL's decode is
-        # marginally faster, so the C++ side (which owns the scale choice)
-        # signals fallback without decoding
-        return native.decode_jpeg_resize(data, width, height, crop_mode,
-                                         offset, quality_factor=2,
-                                         reject_full_scale=True), data
+        return native.decode_image_resize(data, width, height, crop_mode,
+                                          offset, quality_factor=2,
+                                          resample=resample), data
     except Exception:
         return None, None
 
@@ -207,7 +210,8 @@ def load_and_transform_image(
       mode], via the native C++ Lanczos path when built (GIL-free, scales
       with the loader thread pool; PIL fallback otherwise)
     - else: square resize to (resolution, resolution) distorting aspect
-      (the reference's plain transform, modules.py:136-140)
+      (the reference's plain transform, modules.py:136-140) — also native
+      when built (bilinear filter, within ±1 of PIL's BILINEAR)
 
     Normalization to [-1, 1] is done on device (see ops/image.py) — the host
     hands over uint8.
@@ -216,6 +220,11 @@ def load_and_transform_image(
     if bucket is not None:
         out, data = _native_decode_resize(path, bucket[0], bucket[1],
                                           crop_mode)
+        if out is not None:
+            return out.astype(dtype, copy=False)
+    elif resolution is not None:
+        out, data = _native_decode_resize(path, resolution, resolution,
+                                          "distort", resample="bilinear")
         if out is not None:
             return out.astype(dtype, copy=False)
     # reuse the already-read bytes when the native path declined
@@ -227,8 +236,6 @@ def load_and_transform_image(
             return out.astype(dtype, copy=False)
         img = SmartResize(bucket[0], bucket[1], crop_mode)(img)
     elif resolution is not None:
-        # parity: the reference's square transform is a distorting BILINEAR
-        # resize (torchvision Resize default) — stays on PIL
         img = img.resize((resolution, resolution), Image.BILINEAR)
     return np.asarray(img, dtype=dtype)
 

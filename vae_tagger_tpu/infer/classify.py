@@ -15,10 +15,10 @@ from typing import List
 
 import numpy as np
 
-from ..data.bucketing import load_and_transform_image
 from ..data.paths import get_image_paths
 from ..utils.profiling import ThroughputMeter
 from .engine import TaggerEngine
+from .pipeline import iter_image_batches
 
 
 def _format_results(tag_names: List[str], probs: np.ndarray,
@@ -47,8 +47,16 @@ def infer_and_classify(engine: TaggerEngine, image_path: str,
                        confidence_threshold: float = 0.5,
                        batch_size: int = 8,
                        output_name: str = "classification_results.json",
-                       verbose: bool = True) -> dict:
-    """Tag a file or directory of images; writes classification_results.json."""
+                       verbose: bool = True,
+                       num_workers: int = 4,
+                       prefetch_factor: int = 2) -> dict:
+    """Tag a file or directory of images; writes classification_results.json.
+
+    Decode (square resize, like the reference's inference transform —
+    bucketing is a training-time feature, infer_full.py:79) runs on a thread
+    pool overlapped one batch ahead of the device (see pipeline.py), so
+    disk→JSON throughput tracks max(decode, compute) instead of their sum.
+    """
     image_paths = get_image_paths(image_path)
     if not image_paths:
         print("no image files found; check the path")
@@ -58,45 +66,26 @@ def infer_and_classify(engine: TaggerEngine, image_path: str,
     processed, errors = 0, 0
     meter = ThroughputMeter()
 
-    # decode on host (square resize, like the reference's inference
-    # transform — bucketing is a training-time feature, infer_full.py:79)
-    batch_imgs: List[np.ndarray] = []
-    batch_paths: List[str] = []
-
-    def flush():
-        nonlocal processed
-        if not batch_imgs:
-            return
-        n = len(batch_imgs)
-        block = np.stack(batch_imgs)
+    for evt in iter_image_batches(image_paths, resolution, batch_size,
+                                  num_workers, prefetch_factor):
+        if evt[0] == "error":
+            errors += 1
+            print(f"skipping image {evt[1]}: {evt[2]}")
+            continue
+        _, batch_paths, block = evt
+        n = len(batch_paths)
         if n < batch_size:  # pad tail to the compiled batch shape
             pad = np.repeat(block[-1:], batch_size - n, axis=0)
             block = np.concatenate([block, pad], axis=0)
         probs = engine.classify(block)[:n]
         for path, p in zip(batch_paths, probs):
-            results[str(path)] = _format_results(engine.tag_names, p,
-                                                 confidence_threshold)
+            results[path] = _format_results(engine.tag_names, p,
+                                            confidence_threshold)
         processed += n
         meter.update(n)
-        batch_imgs.clear()
-        batch_paths.clear()
-
-    for img_path in image_paths:
-        try:
-            img = load_and_transform_image(str(img_path),
-                                           resolution=resolution)
-        except Exception as e:
-            errors += 1
-            print(f"skipping image {img_path}: {e}")
-            continue
-        batch_imgs.append(img)
-        batch_paths.append(str(img_path))
-        if len(batch_imgs) == batch_size:
-            flush()
-            if verbose and processed % 100 < batch_size:
-                print(f"processed {processed}/{len(image_paths)} images "
-                      f"({errors} errors skipped)")
-    flush()
+        if verbose and processed % 100 < batch_size:
+            print(f"processed {processed}/{len(image_paths)} images "
+                  f"({errors} errors skipped)")
 
     if verbose:
         print(f"done — ok: {processed}, failed: {errors}, "

@@ -114,7 +114,15 @@ def build_decoder(num_classes: int, use_attention: bool = True,
 
 @dataclasses.dataclass(eq=False)  # identity hash: instances are jit static args
 class TaggerEngine:
-    """VAE + tagger head with jitted batched forward functions."""
+    """VAE + tagger head with jitted batched forward functions.
+
+    With ``mesh`` set (``parallel.mesh.make_mesh()``), inference runs SPMD
+    data-parallel: params are replicated, pixel batches are sharded
+    ``P('data')`` across the mesh and padded to ``8 x device_count`` rows
+    (8 sublane rows per device), and jit compiles one program spanning all
+    devices — the TPU-native equivalent of the reference's
+    ``accelerate launch`` multi-GPU inference inheritance.
+    """
 
     vae: AutoencoderKL
     vae_params: dict
@@ -122,13 +130,15 @@ class TaggerEngine:
     decoder_variables: dict
     tag_names: list
     policy: Policy = Policy()
+    mesh: Optional[object] = None  # jax.sharding.Mesh
 
     @classmethod
     def load(cls, vae_checkpoint: str, decoder_checkpoint: str,
              tags_csv_path: str, vae_config_path: Optional[str] = None,
              use_attention: bool = True,
              attention_config: Optional[dict] = None,
-             mixed_precision: Optional[str] = None) -> "TaggerEngine":
+             mixed_precision: Optional[str] = None,
+             mesh: Optional[object] = None) -> "TaggerEngine":
         from ..data.dataset import load_tag_names
 
         policy = resolve_mixed_precision(mixed_precision)
@@ -155,9 +165,20 @@ class TaggerEngine:
         if "batch_stats" in init_vars or loaded_stats:
             variables["batch_stats"] = merge_into_reference(
                 init_vars.get("batch_stats", {}), loaded_stats or {})
-        return cls(vae=vae, vae_params=vae_params, decoder=decoder,
-                   decoder_variables=variables, tag_names=tag_names,
-                   policy=policy)
+        engine = cls(vae=vae, vae_params=vae_params, decoder=decoder,
+                     decoder_variables=variables, tag_names=tag_names,
+                     policy=policy)
+        return engine.with_mesh(mesh) if mesh is not None else engine
+
+    def with_mesh(self, mesh) -> "TaggerEngine":
+        """A copy of this engine that runs SPMD over ``mesh`` (params
+        replicated, batches sharded on the ``data`` axis)."""
+        from ..parallel.mesh import replicate
+
+        return dataclasses.replace(
+            self, mesh=mesh,
+            vae_params=replicate(self.vae_params, mesh),
+            decoder_variables=replicate(self.decoder_variables, mesh))
 
     # -- jitted forwards ----------------------------------------------------
     @partial(jax.jit, static_argnums=0)
@@ -177,38 +198,57 @@ class TaggerEngine:
         return latents, probs
 
     @staticmethod
-    def _pad_batch(pixels_uint8: np.ndarray):
-        """Round sub-8 batches up to a sublane multiple of 8 on TPU.
+    def _pad_batch(pixels_uint8: np.ndarray, multiple: Optional[int] = None):
+        """Round sub-multiple batches up (zeros appended).
 
-        Off-multiple batches measured ~3x lower throughput per pixel on
-        v5e; padded rows are zeros and their results are dropped (the VAE's
-        GroupNorm and the eval-mode head are per-sample, so pads cannot
-        affect real rows).  Returns (padded, real_count)."""
+        Default multiple: 8 on TPU (sublane packing — off-multiple batches
+        measured ~3x lower throughput per pixel on v5e), 1 elsewhere.  With
+        a mesh, callers pass 8 x device_count so every device gets full
+        sublane rows.  Padded rows are zeros and their results are dropped
+        (the VAE's GroupNorm and the eval-mode head are per-sample, so pads
+        cannot affect real rows).  Returns (padded, real_count)."""
+        if multiple is None:
+            multiple = 8 if jax.default_backend() == "tpu" else 1
         b = pixels_uint8.shape[0]
-        if jax.default_backend() != "tpu" or b % 8 == 0:
+        if multiple <= 1 or b % multiple == 0:
             return pixels_uint8, b
-        padded = -(-b // 8) * 8
+        padded = -(-b // multiple) * multiple
         pad = np.zeros((padded - b, *pixels_uint8.shape[1:]),
                        pixels_uint8.dtype)
         return np.concatenate([np.asarray(pixels_uint8), pad], axis=0), b
 
+    def _pad_multiple(self) -> Optional[int]:
+        if self.mesh is None:
+            return None  # backend default
+        sub = 8 if jax.default_backend() == "tpu" else 1
+        return sub * self.mesh.size
+
+    def _place(self, pixels_uint8):
+        """Host batch -> device array; sharded P('data') under a mesh (jit
+        then compiles SPMD from the committed input sharding)."""
+        if self.mesh is None:
+            return jnp.asarray(pixels_uint8)
+        from ..parallel.mesh import batch_sharding
+
+        return jax.device_put(pixels_uint8, batch_sharding(self.mesh))
+
     def encode(self, pixels_uint8: np.ndarray) -> np.ndarray:
         """(B, H, W, 3) uint8 -> (B, h, w, C) scaled/shifted latents."""
-        px, b = self._pad_batch(pixels_uint8)
+        px, b = self._pad_batch(pixels_uint8, self._pad_multiple())
         return np.asarray(self._encode_fn(self.vae_params,
-                                          jnp.asarray(px)))[:b]
+                                          self._place(px)))[:b]
 
     def classify(self, pixels_uint8: np.ndarray) -> np.ndarray:
         """(B, H, W, 3) uint8 -> (B, num_tags) sigmoid probabilities."""
-        px, b = self._pad_batch(pixels_uint8)
+        px, b = self._pad_batch(pixels_uint8, self._pad_multiple())
         _, probs = self._encode_classify_fn(
-            self.vae_params, self.decoder_variables, jnp.asarray(px))
+            self.vae_params, self.decoder_variables, self._place(px))
         return np.asarray(probs)[:b]
 
     def encode_and_classify(self, pixels_uint8: np.ndarray):
-        px, b = self._pad_batch(pixels_uint8)
+        px, b = self._pad_batch(pixels_uint8, self._pad_multiple())
         latents, probs = self._encode_classify_fn(
-            self.vae_params, self.decoder_variables, jnp.asarray(px))
+            self.vae_params, self.decoder_variables, self._place(px))
         return np.asarray(latents)[:b], np.asarray(probs)[:b]
 
     def get_attention_maps(self, pixels_uint8: np.ndarray) -> dict:
@@ -220,8 +260,8 @@ class TaggerEngine:
         captured via nn.sow (models/taggers.py::get_attention_maps)."""
         from ..models.taggers import get_attention_maps
 
-        px, b = self._pad_batch(pixels_uint8)
-        latents = self._encode_fn(self.vae_params, jnp.asarray(px))
+        px, b = self._pad_batch(pixels_uint8, self._pad_multiple())
+        latents = self._encode_fn(self.vae_params, self._place(px))
         maps = get_attention_maps(
             self.decoder, self.decoder_variables,
             latents.astype(self.policy.compute_dtype))

@@ -10,14 +10,13 @@ from __future__ import annotations
 
 import json
 from pathlib import Path
-from typing import List
 
 import numpy as np
 
-from ..data.bucketing import load_and_transform_image
 from ..data.paths import get_image_paths
 from ..utils.profiling import ThroughputMeter
 from .engine import TaggerEngine, load_vae_bundle
+from .pipeline import iter_image_batches
 
 
 def flatten_latent_torch_order(latent_nhwc: np.ndarray) -> np.ndarray:
@@ -29,8 +28,12 @@ def infer_and_save_latents(engine, image_path: str,
                            output_dir: str = "inference_output",
                            resolution: int = 1024,
                            batch_size: int = 8,
-                           verbose: bool = True) -> dict:
-    """``engine`` needs only ``.encode`` (a TaggerEngine or a VAE-only shim)."""
+                           verbose: bool = True,
+                           num_workers: int = 4,
+                           prefetch_factor: int = 2) -> dict:
+    """``engine`` needs only ``.encode`` (a TaggerEngine or a VAE-only shim).
+
+    Decode overlaps device compute one batch ahead (see pipeline.py)."""
     image_paths = get_image_paths(image_path)
     if not image_paths:
         print("no image files found; check the path")
@@ -39,40 +42,24 @@ def infer_and_save_latents(engine, image_path: str,
     latent_data = {}
     processed, errors = 0, 0
     meter = ThroughputMeter()
-    batch_imgs: List[np.ndarray] = []
-    batch_paths: List[str] = []
 
-    def flush():
-        nonlocal processed
-        if not batch_imgs:
-            return
-        n = len(batch_imgs)
-        block = np.stack(batch_imgs)
+    for evt in iter_image_batches(image_paths, resolution, batch_size,
+                                  num_workers, prefetch_factor):
+        if evt[0] == "error":
+            errors += 1
+            print(f"skipping image {evt[1]}: {evt[2]}")
+            continue
+        _, batch_paths, block = evt
+        n = len(batch_paths)
         if n < batch_size:
             block = np.concatenate(
                 [block, np.repeat(block[-1:], batch_size - n, axis=0)], axis=0)
         latents = engine.encode(block)[:n]
         for path, z in zip(batch_paths, latents):
-            latent_data[str(path)] = flatten_latent_torch_order(
+            latent_data[path] = flatten_latent_torch_order(
                 np.asarray(z, np.float32)).tolist()
         processed += n
         meter.update(n)
-        batch_imgs.clear()
-        batch_paths.clear()
-
-    for img_path in image_paths:
-        try:
-            img = load_and_transform_image(str(img_path),
-                                           resolution=resolution)
-        except Exception as e:
-            errors += 1
-            print(f"skipping image {img_path}: {e}")
-            continue
-        batch_imgs.append(img)
-        batch_paths.append(str(img_path))
-        if len(batch_imgs) == batch_size:
-            flush()
-    flush()
 
     if verbose:
         print(f"done — ok: {processed}, failed: {errors}, "

@@ -1,0 +1,106 @@
+"""Overlapped decode→device pipeline for directory inference.
+
+The reference's inference loop decodes every image inline between device
+dispatches (infer_full.py:94-132) — on a 1-core host the TPU idles during
+every decode.  This module gives inference the same overlap the training
+loader has (data/loader.py): a producer thread decodes+resizes on a thread
+pool (PIL and the native C++ decoders both release the GIL) and stages up to
+``prefetch_factor`` collated uint8 batches in a bounded queue, so the host
+decodes batch N+1 while the device runs batch N.  End-to-end throughput
+becomes max(decode, compute) instead of their sum.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from itertools import islice
+from typing import Iterator, Sequence
+
+import numpy as np
+
+from ..data.bucketing import load_and_transform_image
+
+
+def iter_image_batches(image_paths: Sequence, resolution: int,
+                       batch_size: int, num_workers: int = 4,
+                       prefetch_factor: int = 2) -> Iterator[tuple]:
+    """Decode images on a thread pool, yielding batches a queue ahead.
+
+    Yields, in input order:
+      ("batch", [paths], (n, H, W, 3) uint8)  with 1 <= n <= batch_size
+      ("error", path, exception)              for undecodable images
+
+    Failed decodes never occupy a batch slot — every yielded batch except
+    the last is full (matches the reference's skip-and-continue semantics,
+    infer_full.py:99-104).
+    """
+    out_q: "queue.Queue" = queue.Queue(maxsize=max(1, prefetch_factor))
+    stop = threading.Event()
+
+    def load(p):
+        try:
+            return p, load_and_transform_image(str(p),
+                                               resolution=resolution), None
+        except Exception as e:
+            return p, None, e
+
+    def safe_put(item) -> bool:
+        # never block forever: the consumer may have exited early
+        while not stop.is_set():
+            try:
+                out_q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
+
+    def producer():
+        try:
+            imgs, paths = [], []
+            it = iter(image_paths)
+            with ThreadPoolExecutor(max(1, num_workers)) as pool:
+                while True:
+                    # top up with exactly as many decodes as the batch still
+                    # needs; failures shrink the chunk and the next round
+                    # refills
+                    chunk = list(islice(it, batch_size - len(imgs)))
+                    if not chunk:
+                        break
+                    for p, img, err in pool.map(load, chunk):
+                        if err is not None:
+                            if not safe_put(("error", str(p), err)):
+                                return
+                        else:
+                            imgs.append(img)
+                            paths.append(str(p))
+                    if len(imgs) == batch_size:
+                        if not safe_put(("batch", paths, np.stack(imgs))):
+                            return
+                        imgs, paths = [], []
+            if imgs and not safe_put(("batch", paths, np.stack(imgs))):
+                return
+            safe_put(None)
+        except BaseException as e:  # surface in the consumer, don't hang
+            safe_put(e)
+
+    thread = threading.Thread(target=producer, daemon=True,
+                              name="infer-prefetch")
+    thread.start()
+    try:
+        while True:
+            evt = out_q.get()
+            if evt is None:
+                break
+            if isinstance(evt, BaseException):
+                raise evt
+            yield evt
+    finally:
+        stop.set()
+        # drain so a blocked producer can exit
+        while thread.is_alive():
+            try:
+                out_q.get_nowait()
+            except queue.Empty:
+                break

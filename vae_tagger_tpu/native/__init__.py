@@ -1,16 +1,22 @@
 """ctypes binding for the native image-preprocessing library.
 
 Builds ``libvtnative.so`` from resize.cpp + decode.cpp on first use
-(g++ -O3 -ljpeg, cached next to the source) and exposes:
+(g++ -O3, cached next to the source) and exposes:
 
 - :func:`smart_resize` — SmartResize semantics (aspect-preserving crop +
-  Lanczos-3 resample) in C++;
-- :func:`jpeg_info` / :func:`decode_jpeg_resize` — libjpeg(-turbo) decode
-  fused with the crop+resize, using DCT-domain scaling when the target is
-  much smaller than the source (the loader bottleneck on 1-core hosts).
+  Lanczos-3 or bilinear resample) in C++;
+- :func:`decode_jpeg_resize` / :func:`decode_png_resize` /
+  :func:`decode_webp_resize` — format-specific decode fused with the
+  crop+resize (JPEG additionally uses DCT-domain scaling when the target is
+  much smaller than the source — the loader bottleneck on 1-core hosts);
+- :func:`decode_image_resize` — one call that sniffs the magic bytes and
+  dispatches to whichever fused decoder is built;
+- :func:`image_info` / :func:`jpeg_info` — header-only (height, width).
 
-Falls back cleanly: ``available()`` / ``decode_available()`` are False when
-no compiler or libjpeg is present, and callers keep using the PIL path.
+The build degrades gracefully: JPEG+PNG+WebP -> JPEG-only -> resize-only ->
+PIL everywhere, depending on which dev libraries exist at build time.
+``available()`` / ``decode_available()`` / ``decode_formats()`` report what
+the loaded library can do.
 
 Disable explicitly with ``VAE_TAGGER_NATIVE_RESIZE=0`` (everything) or
 ``VAE_TAGGER_NATIVE_DECODE=0`` (decode only).
@@ -37,30 +43,58 @@ _tried = False
 
 _CROP_MODES = {"center": 0, "top": 1, "bottom": 1, "left": 1, "right": 1,
                "random": 2, "distort": 3}
+_FILTERS = {"lanczos": 0, "bilinear": 1}
+
+# magic bytes -> format name (dispatch for decode_image_resize)
+_JPEG_MAGIC = b"\xff\xd8"
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
 
-def _build() -> bool:
-    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-           "-o", _SO, _SRC, _SRC_DECODE, "-ljpeg"]
+def sniff_format(data: bytes) -> Optional[str]:
+    """'jpeg' | 'png' | 'webp' | None from the leading magic bytes."""
+    if data[:2] == _JPEG_MAGIC:
+        return "jpeg"
+    if data[:8] == _PNG_MAGIC:
+        return "png"
+    if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+        return "webp"
+    return None
+
+
+def _try_build(extra_srcs, extra_flags) -> bool:
+    cmd = (["g++", "-O3", "-march=native", "-shared", "-fPIC", "-o", _SO,
+            _SRC] + extra_srcs + extra_flags)
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
         return True
     except Exception as e:
-        # no libjpeg dev on this host (or a decode.cpp regression): say so,
-        # then build the resize-only library.  Delete libvtnative.so to
-        # retry the full build after installing libjpeg-dev.
         detail = getattr(e, "stderr", b"")
         detail = detail.decode(errors="replace")[-500:] if detail else e
-        print(f"native decode build failed (resize-only fallback; "
-              f"delete {_SO} to retry): {detail}")
-        cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-               "-o", _SO, _SRC]
-        try:
-            subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        print(f"native build failed ({' '.join(extra_flags) or 'resize-only'}"
+              f"): {detail}")
+        return False
+
+
+def _build() -> bool:
+    # widest first; each rung drops the library the previous one needed.
+    # Delete libvtnative.so to retry after installing dev packages.
+    for extra_srcs, extra_flags in (
+        ([_SRC_DECODE], ["-DVT_HAVE_PNG", "-DVT_HAVE_WEBP",
+                         "-ljpeg", "-lpng16", "-lwebp"]),
+        ([_SRC_DECODE], ["-ljpeg"]),
+        ([], []),
+    ):
+        if _try_build(extra_srcs, extra_flags):
             return True
-        except Exception as e:
-            print(f"native resize build failed (falling back to PIL): {e}")
-            return False
+    print("native resize build failed (falling back to PIL)")
+    return False
+
+
+_DECODERS = {  # format -> (info symbol, decode symbol, has jpeg-only args)
+    "jpeg": ("vt_jpeg_info", "vt_jpeg_decode_resize"),
+    "png": ("vt_png_info", "vt_png_decode_resize"),
+    "webp": ("vt_webp_info", "vt_webp_decode_resize"),
+}
 
 
 def _load() -> Optional[ctypes.CDLL]:
@@ -78,25 +112,27 @@ def _load() -> Optional[ctypes.CDLL]:
                 return None
         try:
             lib = ctypes.CDLL(_SO)
-            lib.vt_smart_resize.restype = ctypes.c_int
-            lib.vt_smart_resize.argtypes = [
-                ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
-                ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
-                ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            u8p = ctypes.POINTER(ctypes.c_uint8)
+            i32p = ctypes.POINTER(ctypes.c_int)
+            lib.vt_smart_resize_filter.restype = ctypes.c_int
+            lib.vt_smart_resize_filter.argtypes = [
+                u8p, ctypes.c_int, ctypes.c_int,
+                u8p, ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ]
-            if hasattr(lib, "vt_jpeg_decode_resize"):
-                lib.vt_jpeg_info.restype = ctypes.c_int
-                lib.vt_jpeg_info.argtypes = [
-                    ctypes.POINTER(ctypes.c_uint8), ctypes.c_size_t,
-                    ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
-                ]
-                lib.vt_jpeg_decode_resize.restype = ctypes.c_int
-                lib.vt_jpeg_decode_resize.argtypes = [
-                    ctypes.POINTER(ctypes.c_uint8), ctypes.c_size_t,
-                    ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
-                    ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-                    ctypes.c_int,
-                ]
+            for fmt, (info_sym, dec_sym) in _DECODERS.items():
+                if not hasattr(lib, dec_sym):
+                    continue
+                info = getattr(lib, info_sym)
+                info.restype = ctypes.c_int
+                info.argtypes = [u8p, ctypes.c_size_t, i32p, i32p]
+                dec = getattr(lib, dec_sym)
+                dec.restype = ctypes.c_int
+                dec.argtypes = [
+                    u8p, ctypes.c_size_t, u8p, ctypes.c_int, ctypes.c_int,
+                    ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ] + ([ctypes.c_int, ctypes.c_int] if fmt == "jpeg" else []) \
+                  + [ctypes.c_int]
             _lib = lib
         except OSError as e:
             print(f"native resize load failed (falling back to PIL): {e}")
@@ -110,8 +146,13 @@ def available() -> bool:
 
 def smart_resize(src: np.ndarray, target_width: int, target_height: int,
                  crop_mode: str = "center",
-                 crop_offset: tuple[int, int] = (0, 0)) -> np.ndarray:
-    """Aspect-preserving crop + Lanczos-3 resize of an HWC uint8 RGB array."""
+                 crop_offset: tuple[int, int] = (0, 0),
+                 resample: str = "lanczos") -> np.ndarray:
+    """Aspect-preserving crop + resample of an HWC uint8 RGB array.
+
+    ``resample``: 'lanczos' (SmartResize/training parity) or 'bilinear'
+    (the reference's inference transform, used with crop_mode='distort').
+    """
     lib = _load()
     if lib is None:
         raise RuntimeError("native resize library unavailable")
@@ -119,45 +160,90 @@ def smart_resize(src: np.ndarray, target_width: int, target_height: int,
     if src.ndim != 3 or src.shape[2] != 3:
         raise ValueError(f"expected (H, W, 3) uint8, got {src.shape}")
     dst = np.empty((target_height, target_width, 3), dtype=np.uint8)
-    rc = lib.vt_smart_resize(
+    rc = lib.vt_smart_resize_filter(
         src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         src.shape[0], src.shape[1],
         dst.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         target_height, target_width,
         _CROP_MODES.get(crop_mode, 0), crop_offset[0], crop_offset[1],
+        _FILTERS[resample],
     )
     if rc != 0:
         raise RuntimeError(f"vt_smart_resize failed with code {rc}")
     return dst
 
 
-def decode_available() -> bool:
+def decode_formats() -> frozenset:
+    """The image formats the loaded library can decode natively."""
     lib = _load()
-    if lib is None or not hasattr(lib, "vt_jpeg_decode_resize"):
-        return False
-    return os.environ.get("VAE_TAGGER_NATIVE_DECODE", "1") != "0"
+    if lib is None or os.environ.get("VAE_TAGGER_NATIVE_DECODE", "1") == "0":
+        return frozenset()
+    return frozenset(f for f, (_, dec) in _DECODERS.items()
+                     if hasattr(lib, dec))
+
+
+def decode_available(fmt: str = "jpeg") -> bool:
+    return fmt in decode_formats()
+
+
+def _info(fmt: str, data: bytes) -> tuple[int, int]:
+    lib = _load()
+    if lib is None or not hasattr(lib, _DECODERS[fmt][0]):
+        raise RuntimeError(f"native {fmt} decoder unavailable")
+    buf = (ctypes.c_uint8 * len(data)).from_buffer_copy(data)
+    h = ctypes.c_int()
+    w = ctypes.c_int()
+    rc = getattr(lib, _DECODERS[fmt][0])(buf, len(data), ctypes.byref(h),
+                                         ctypes.byref(w))
+    if rc != 0:
+        raise RuntimeError(f"vt_{fmt}_info failed with code {rc}")
+    return h.value, w.value
 
 
 def jpeg_info(data: bytes) -> tuple[int, int]:
     """(height, width) from a JPEG header, without decoding."""
+    return _info("jpeg", data)
+
+
+def image_info(data: bytes) -> tuple[int, int]:
+    """(height, width) from any supported format's header."""
+    fmt = sniff_format(data)
+    if fmt is None:
+        raise RuntimeError("unrecognized image format")
+    return _info(fmt, data)
+
+
+def _decode_resize(fmt: str, data: bytes, target_width: int,
+                   target_height: int, crop_mode: str,
+                   crop_offset: tuple[int, int], quality_factor: int,
+                   reject_full_scale: bool,
+                   resample: str) -> Optional[np.ndarray]:
     lib = _load()
-    if lib is None or not hasattr(lib, "vt_jpeg_info"):
-        raise RuntimeError("native jpeg decoder unavailable")
+    if lib is None or not hasattr(lib, _DECODERS[fmt][1]):
+        raise RuntimeError(f"native {fmt} decoder unavailable")
     buf = (ctypes.c_uint8 * len(data)).from_buffer_copy(data)
-    h = ctypes.c_int()
-    w = ctypes.c_int()
-    rc = lib.vt_jpeg_info(buf, len(data), ctypes.byref(h), ctypes.byref(w))
+    dst = np.empty((target_height, target_width, 3), dtype=np.uint8)
+    args = [buf, len(data),
+            dst.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            target_height, target_width,
+            _CROP_MODES.get(crop_mode, 0), crop_offset[0], crop_offset[1]]
+    if fmt == "jpeg":
+        args += [quality_factor, int(reject_full_scale)]
+    args += [_FILTERS[resample]]
+    rc = getattr(lib, _DECODERS[fmt][1])(*args)
+    if rc == 1:
+        return None
     if rc != 0:
-        raise RuntimeError(f"vt_jpeg_info failed with code {rc}")
-    return h.value, w.value
+        raise RuntimeError(f"{_DECODERS[fmt][1]} failed with code {rc}")
+    return dst
 
 
 def decode_jpeg_resize(data: bytes, target_width: int, target_height: int,
                        crop_mode: str = "center",
                        crop_offset: tuple[int, int] = (0, 0),
                        quality_factor: int = 2,
-                       reject_full_scale: bool = False
-                       ) -> Optional[np.ndarray]:
+                       reject_full_scale: bool = False,
+                       resample: str = "lanczos") -> Optional[np.ndarray]:
     """JPEG decode + SmartResize in one native call.
 
     ``quality_factor`` q > 0 lets libjpeg decode at a reduced DCT scale as
@@ -169,20 +255,44 @@ def decode_jpeg_resize(data: bytes, target_width: int, target_height: int,
     overrides ``reject_full_scale``: an explicit full-decode request always
     decodes.
     """
-    lib = _load()
-    if lib is None or not hasattr(lib, "vt_jpeg_decode_resize"):
-        raise RuntimeError("native jpeg decoder unavailable")
-    buf = (ctypes.c_uint8 * len(data)).from_buffer_copy(data)
-    dst = np.empty((target_height, target_width, 3), dtype=np.uint8)
-    rc = lib.vt_jpeg_decode_resize(
-        buf, len(data),
-        dst.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-        target_height, target_width,
-        _CROP_MODES.get(crop_mode, 0), crop_offset[0], crop_offset[1],
-        quality_factor, int(reject_full_scale),
-    )
-    if rc == 1:
+    return _decode_resize("jpeg", data, target_width, target_height,
+                          crop_mode, crop_offset, quality_factor,
+                          reject_full_scale, resample)
+
+
+def decode_png_resize(data: bytes, target_width: int, target_height: int,
+                      crop_mode: str = "center",
+                      crop_offset: tuple[int, int] = (0, 0),
+                      resample: str = "lanczos") -> np.ndarray:
+    """PNG decode + crop + resize in one native call (alpha dropped,
+    PIL ``convert("RGB")`` semantics)."""
+    return _decode_resize("png", data, target_width, target_height,
+                          crop_mode, crop_offset, 0, False, resample)
+
+
+def decode_webp_resize(data: bytes, target_width: int, target_height: int,
+                       crop_mode: str = "center",
+                       crop_offset: tuple[int, int] = (0, 0),
+                       resample: str = "lanczos") -> np.ndarray:
+    """WebP decode + crop + resize in one native call (alpha dropped)."""
+    return _decode_resize("webp", data, target_width, target_height,
+                          crop_mode, crop_offset, 0, False, resample)
+
+
+def decode_image_resize(data: bytes, target_width: int, target_height: int,
+                        crop_mode: str = "center",
+                        crop_offset: tuple[int, int] = (0, 0),
+                        quality_factor: int = 2,
+                        reject_full_scale: bool = False,
+                        resample: str = "lanczos") -> Optional[np.ndarray]:
+    """Sniff the format and decode+resize in one native call.
+
+    Returns None when the format is not natively decodable (caller falls
+    back to PIL) or when a JPEG's ``reject_full_scale`` fires.
+    """
+    fmt = sniff_format(data)
+    if fmt is None or fmt not in decode_formats():
         return None
-    if rc != 0:
-        raise RuntimeError(f"vt_jpeg_decode_resize failed with code {rc}")
-    return dst
+    return _decode_resize(fmt, data, target_width, target_height, crop_mode,
+                          crop_offset, quality_factor, reject_full_scale,
+                          resample)

@@ -10,8 +10,14 @@
 // decode and resample cost while the final Lanczos still resamples from a
 // >= quality_factor x target image.
 //
-// Plain C ABI (ctypes binding in __init__.py).  Non-JPEG and exotic color
-// spaces return an error and the caller falls back to PIL.
+// PNG (libpng simplified API) and WebP (libwebp) get the same fused
+// decode+crop+resize treatment when their libraries are present at build
+// time (VT_HAVE_PNG / VT_HAVE_WEBP) — no DCT shortcut exists for them, but
+// the one-call GIL-free path still beats PIL decode + convert + resample on
+// 1-core hosts.
+//
+// Plain C ABI (ctypes binding in __init__.py).  Unsupported formats and
+// exotic color spaces return an error and the caller falls back to PIL.
 
 #include <csetjmp>
 #include <cstdint>
@@ -21,9 +27,17 @@
 #include <cstdio>  // jpeglib needs FILE
 #include <jpeglib.h>
 
-extern "C" int vt_smart_resize(const uint8_t* src, int src_h, int src_w,
-                               uint8_t* dst, int dst_h, int dst_w,
-                               int crop_mode, int crop_x, int crop_y);
+#ifdef VT_HAVE_PNG
+#include <png.h>
+#endif
+#ifdef VT_HAVE_WEBP
+#include <webp/decode.h>
+#endif
+
+extern "C" int vt_smart_resize_filter(const uint8_t* src, int src_h,
+                                      int src_w, uint8_t* dst, int dst_h,
+                                      int dst_w, int crop_mode, int crop_x,
+                                      int crop_y, int filter);
 
 namespace {
 
@@ -79,7 +93,8 @@ int vt_jpeg_info(const uint8_t* data, size_t len, int* h, int* w) {
 int vt_jpeg_decode_resize(const uint8_t* data, size_t len,
                           uint8_t* dst, int dst_h, int dst_w,
                           int crop_mode, int crop_x, int crop_y,
-                          int quality_factor, int reject_full_scale) {
+                          int quality_factor, int reject_full_scale,
+                          int filter) {
   if (!data || len < 4 || !dst || dst_h <= 0 || dst_w <= 0) return -1;
 
   jpeg_decompress_struct cinfo;
@@ -162,8 +177,90 @@ int vt_jpeg_decode_resize(const uint8_t* data, size_t len,
     cx = static_cast<int>(static_cast<long>(crop_x) * dec_w / full_w);
     cy = static_cast<int>(static_cast<long>(crop_y) * dec_h / full_h);
   }
-  return vt_smart_resize(pixels.data(), dec_h, dec_w, dst, dst_h, dst_w,
-                         crop_mode, cx, cy);
+  return vt_smart_resize_filter(pixels.data(), dec_h, dec_w, dst, dst_h,
+                                dst_w, crop_mode, cx, cy, filter);
 }
+
+#ifdef VT_HAVE_PNG
+
+// Header-only parse via the libpng simplified API.
+int vt_png_info(const uint8_t* data, size_t len, int* h, int* w) {
+  if (!data || len < 8 || !h || !w) return -1;
+  png_image im;
+  std::memset(&im, 0, sizeof(im));
+  im.version = PNG_IMAGE_VERSION;
+  if (!png_image_begin_read_from_memory(&im, data, len)) return -2;
+  *h = static_cast<int>(im.height);
+  *w = static_cast<int>(im.width);
+  png_image_free(&im);
+  return 0;
+}
+
+// PNG decode + crop + resize in one call.  Alpha is DROPPED, not composited
+// (PIL ``convert("RGB")`` semantics — the reference's loader,
+// modules.py:690); palette/gray expand to RGB.  No equivalent of JPEG's
+// DCT-domain scaling exists for PNG, so this always decodes at full size;
+// the win over the PIL path is the fused GIL-free decode+resample.
+int vt_png_decode_resize(const uint8_t* data, size_t len,
+                         uint8_t* dst, int dst_h, int dst_w,
+                         int crop_mode, int crop_x, int crop_y, int filter) {
+  if (!data || len < 8 || !dst || dst_h <= 0 || dst_w <= 0) return -1;
+  png_image im;
+  std::memset(&im, 0, sizeof(im));
+  im.version = PNG_IMAGE_VERSION;
+  if (!png_image_begin_read_from_memory(&im, data, len)) return -2;
+  const bool has_alpha = (im.format & PNG_FORMAT_FLAG_ALPHA) != 0;
+  im.format = has_alpha ? PNG_FORMAT_RGBA : PNG_FORMAT_RGB;
+  const int sw = static_cast<int>(im.width);
+  const int sh = static_cast<int>(im.height);
+  if (sw <= 0 || sh <= 0) {
+    png_image_free(&im);
+    return -3;
+  }
+  std::vector<uint8_t> pixels(PNG_IMAGE_SIZE(im));
+  if (!png_image_finish_read(&im, nullptr, pixels.data(), 0, nullptr)) {
+    png_image_free(&im);
+    return -3;
+  }
+  if (has_alpha) {  // strip A in place: RGBA -> RGB
+    const size_t n = static_cast<size_t>(sw) * sh;
+    for (size_t i = 1; i < n; ++i) {
+      std::memmove(pixels.data() + i * 3, pixels.data() + i * 4, 3);
+    }
+  }
+  return vt_smart_resize_filter(pixels.data(), sh, sw, dst, dst_h, dst_w,
+                                crop_mode, crop_x, crop_y, filter);
+}
+
+#endif  // VT_HAVE_PNG
+
+#ifdef VT_HAVE_WEBP
+
+int vt_webp_info(const uint8_t* data, size_t len, int* h, int* w) {
+  if (!data || len < 12 || !h || !w) return -1;
+  int ww = 0, hh = 0;
+  if (!WebPGetInfo(data, len, &ww, &hh)) return -2;
+  *h = hh;
+  *w = ww;
+  return 0;
+}
+
+// WebP decode + crop + resize in one call (alpha dropped, as above).
+int vt_webp_decode_resize(const uint8_t* data, size_t len,
+                          uint8_t* dst, int dst_h, int dst_w,
+                          int crop_mode, int crop_x, int crop_y, int filter) {
+  if (!data || len < 12 || !dst || dst_h <= 0 || dst_w <= 0) return -1;
+  int sw = 0, sh = 0;
+  if (!WebPGetInfo(data, len, &sw, &sh)) return -2;
+  if (sw <= 0 || sh <= 0) return -3;
+  std::vector<uint8_t> pixels(static_cast<size_t>(sw) * sh * 3);
+  if (!WebPDecodeRGBInto(data, len, pixels.data(), pixels.size(), sw * 3)) {
+    return -3;
+  }
+  return vt_smart_resize_filter(pixels.data(), sh, sw, dst, dst_h, dst_w,
+                                crop_mode, crop_x, crop_y, filter);
+}
+
+#endif  // VT_HAVE_WEBP
 
 }  // extern "C"

@@ -31,6 +31,21 @@ inline double lanczos3(double x) {
   return kLanczosA * std::sin(px) * std::sin(px / kLanczosA) / (px * px);
 }
 
+// Triangle filter, support 1 — PIL's BILINEAR convention (support scales by
+// the downsampling ratio, i.e. antialiased).  Used for the reference's
+// inference-time square resize (torchvision Resize default is BILINEAR,
+// modules.py:136-140).
+inline double triangle(double x) {
+  x = x < 0 ? -x : x;
+  return x < 1.0 ? 1.0 - x : 0.0;
+}
+
+// filter ids of the C ABI: 0 = Lanczos-3, 1 = bilinear
+inline double filter_support(int filter) { return filter == 1 ? 1.0 : kLanczosA; }
+inline double filter_eval(int filter, double x) {
+  return filter == 1 ? triangle(x) : lanczos3(x);
+}
+
 // Precomputed sampling kernel for one output axis: for each output index,
 // the input window [start, start+len) and normalized weights.
 struct AxisKernel {
@@ -43,13 +58,13 @@ struct AxisKernel {
 // Matches the convention of high-quality resamplers (and PIL): the filter
 // support scales by the downsampling ratio; weights are renormalized over
 // the clipped window.
-AxisKernel build_kernel(int in_size, int out_size, int in_offset) {
+AxisKernel build_kernel(int in_size, int out_size, int in_offset, int filter) {
   AxisKernel k;
   k.start.resize(out_size);
   k.len.resize(out_size);
   const double scale = static_cast<double>(in_size) / out_size;
   const double filter_scale = std::max(scale, 1.0);
-  const double support = kLanczosA * filter_scale;
+  const double support = filter_support(filter) * filter_scale;
   k.max_len = static_cast<int>(std::ceil(support)) * 2 + 1;
   k.weights.assign(static_cast<size_t>(out_size) * k.max_len, 0.0);
 
@@ -63,7 +78,7 @@ AxisKernel build_kernel(int in_size, int out_size, int in_offset) {
     k.len[i] = hi - lo;
     double sum = 0.0;
     for (int j = lo; j < hi; ++j) {
-      const double w = lanczos3((j + 0.5 - center) / filter_scale);
+      const double w = filter_eval(filter, (j + 0.5 - center) / filter_scale);
       k.weights[static_cast<size_t>(i) * k.max_len + (j - lo)] = w;
       sum += w;
     }
@@ -87,10 +102,12 @@ extern "C" {
 // crop_mode: 0 = center, 1 = top/left (matching SmartResize semantics;
 // 'random' crops pick their offset in Python and pass it via crop_x/crop_y
 // with crop_mode=2; 3 = no crop — distorting resize like torchvision's
-// square Resize((r, r))).
-int vt_smart_resize(const uint8_t* src, int src_h, int src_w,
-                    uint8_t* dst, int dst_h, int dst_w,
-                    int crop_mode, int crop_x, int crop_y) {
+// square Resize((r, r))).  filter: 0 = Lanczos-3 (SmartResize/training),
+// 1 = bilinear (the reference's inference transform).
+int vt_smart_resize_filter(const uint8_t* src, int src_h, int src_w,
+                           uint8_t* dst, int dst_h, int dst_w,
+                           int crop_mode, int crop_x, int crop_y,
+                           int filter) {
   if (!src || !dst || src_h <= 0 || src_w <= 0 || dst_h <= 0 || dst_w <= 0) {
     return -1;
   }
@@ -114,8 +131,8 @@ int vt_smart_resize(const uint8_t* src, int src_h, int src_w,
   }
   if (win_w <= 0 || win_h <= 0) return -2;
 
-  const AxisKernel kx = build_kernel(win_w, dst_w, off_x);
-  const AxisKernel ky = build_kernel(win_h, dst_h, off_y);
+  const AxisKernel kx = build_kernel(win_w, dst_w, off_x, filter);
+  const AxisKernel ky = build_kernel(win_h, dst_h, off_y, filter);
 
   // horizontal pass: (win_h, dst_w, 3) float intermediate over the crop rows
   std::vector<float> tmp(static_cast<size_t>(win_h) * dst_w * 3);
@@ -159,6 +176,14 @@ int vt_smart_resize(const uint8_t* src, int src_h, int src_w,
     }
   }
   return 0;
+}
+
+// Original entry point — Lanczos-3, kept as the stable ABI name.
+int vt_smart_resize(const uint8_t* src, int src_h, int src_w,
+                    uint8_t* dst, int dst_h, int dst_w,
+                    int crop_mode, int crop_x, int crop_y) {
+  return vt_smart_resize_filter(src, src_h, src_w, dst, dst_h, dst_w,
+                                crop_mode, crop_x, crop_y, /*filter=*/0);
 }
 
 }  // extern "C"
