@@ -1,0 +1,166 @@
+#!/usr/bin/env python
+"""End-to-end disk->JSON inference benchmark (VERDICT r2 gap #1).
+
+Measures the REAL reference workload — a directory of image files through
+``infer_and_classify`` to ``classification_results.json``
+(/root/reference/infer_full.py:94-132) — not just device compute on
+pre-staged buffers.  The image set is a mixed JPEG/PNG directory at
+realistic camera-ish resolutions, generated once and cached in /tmp.
+
+Also records the two roofline sides so the e2e number is explainable:
+  - host decode throughput (the pipeline's decode stage alone)
+  - device classify throughput (pre-staged uint8, batched, async chained)
+
+Writes/merges the ``infer_full_e2e_1024px`` entry of benchmarks/report.json.
+Run on the real TPU: plain ``python benchmarks/infer_e2e.py``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+CACHE_DIR = "/tmp/vt_bench_images_1024"
+N_JPEG, N_PNG = 32, 16
+RESOLUTION = 1024
+BATCH = 8
+
+
+def _make_image_dir() -> str:
+    """48 mixed JPEG/PNG files, ~1.3-2.3 MP, smooth synthetic content."""
+    from PIL import Image
+
+    marker = os.path.join(CACHE_DIR, ".done")
+    if os.path.exists(marker):
+        return CACHE_DIR
+    os.makedirs(CACHE_DIR, exist_ok=True)
+    rng = np.random.default_rng(0)
+    sizes = [(1536, 1152), (1280, 1600), (2048, 1152), (1440, 1440)]
+    for i in range(N_JPEG + N_PNG):
+        h, w = sizes[i % len(sizes)]
+        img = np.cumsum(np.cumsum(rng.normal(size=(h // 8, w // 8, 3)),
+                                  0), 1)
+        img = ((img - img.min()) / (img.max() - img.min() + 1e-9) * 255
+               ).astype(np.uint8)
+        img = np.kron(img, np.ones((8, 8, 1), np.uint8))  # cheap upsample
+        if i < N_JPEG:
+            Image.fromarray(img).save(
+                os.path.join(CACHE_DIR, f"img_{i:03d}.jpg"), quality=92)
+        else:
+            Image.fromarray(img).save(
+                os.path.join(CACHE_DIR, f"img_{i:03d}.png"))
+    open(marker, "w").close()
+    return CACHE_DIR
+
+
+def _full_engine():
+    """Full-size FLUX VAE + 1000-class attention tagger in a TaggerEngine
+    (random weights — throughput does not depend on the values)."""
+    from vae_tagger_tpu.core.config import default_flux_vae_config
+    from vae_tagger_tpu.core.precision import BF16
+    from vae_tagger_tpu.infer.engine import TaggerEngine, build_decoder
+    from vae_tagger_tpu.models.autoencoder_kl import AutoencoderKL
+
+    cfg = default_flux_vae_config()
+    vae = AutoencoderKL(cfg, dtype=BF16.compute_dtype)
+    decoder = build_decoder(1000, use_attention=True, latent_channels=16,
+                            policy=BF16)
+    vp = jax.jit(vae.init)({"params": jax.random.key(0)},
+                           jnp.zeros((1, 256, 256, 3)),
+                           jax.random.key(1))["params"]
+    dv = jax.jit(decoder.init, static_argnames=("deterministic",))(
+        {"params": jax.random.key(2)}, jnp.zeros((1, 32, 32, 16)),
+        deterministic=True)
+    return TaggerEngine(vae=vae, vae_params=vp, decoder=decoder,
+                        decoder_variables=dict(dv),
+                        tag_names=[f"tag_{i}" for i in range(1000)],
+                        policy=BF16)
+
+
+def main():
+    from vae_tagger_tpu.data.bucketing import load_and_transform_image
+    from vae_tagger_tpu.infer.classify import infer_and_classify
+
+    image_dir = _make_image_dir()
+    paths = sorted(os.listdir(image_dir))
+    paths = [os.path.join(image_dir, p) for p in paths
+             if not p.startswith(".")]
+    n_images = len(paths)
+    print(f"{n_images} images ({N_JPEG} JPEG + {N_PNG} PNG)")
+
+    engine = _full_engine()
+
+    # --- roofline side 1: host decode alone (single thread; the 1-core
+    # host cannot exceed this no matter the pool size) ---
+    t0 = time.perf_counter()
+    for p in paths[:16]:
+        load_and_transform_image(p, resolution=RESOLUTION)
+    decode_ms = (time.perf_counter() - t0) / 16 * 1000
+
+    # --- roofline side 2: device classify alone (pre-staged, per-dispatch
+    # like the real serving path, async-chained like infer_and_classify) ---
+    rng = np.random.default_rng(1)
+    blocks = [rng.integers(0, 256, (BATCH, RESOLUTION, RESOLUTION, 3),
+                           dtype=np.uint8) for _ in range(4)]
+    jax.device_get(engine.classify(blocks[0]))  # compile + warm
+    t0 = time.perf_counter()
+    pending = None
+    reps = 8
+    for i in range(reps):
+        probs, b = engine.classify_async(blocks[i % len(blocks)])
+        if pending is not None:
+            np.asarray(pending)
+        pending = probs
+    np.asarray(pending)
+    device_ms = (time.perf_counter() - t0) / reps * 1000
+
+    # --- the real thing: directory of files -> classification JSON ---
+    out_dir = "/tmp/vt_bench_e2e_out"
+    infer_and_classify(engine, image_dir, output_dir=out_dir,
+                       resolution=RESOLUTION, batch_size=BATCH,
+                       verbose=False)  # warm run: compile + page cache
+    t0 = time.perf_counter()
+    results = infer_and_classify(engine, image_dir, output_dir=out_dir,
+                                 resolution=RESOLUTION, batch_size=BATCH,
+                                 verbose=False)
+    wall = time.perf_counter() - t0
+    assert len(results) == n_images
+    e2e_ips = n_images / wall
+
+    entry = {
+        "images_per_sec_e2e": round(e2e_ips, 2),
+        "wall_s": round(wall, 2),
+        "n_images": n_images,
+        "mix": f"{N_JPEG} jpeg + {N_PNG} png, 1.3-2.3 MP sources",
+        "host_decode_ms_per_image": round(decode_ms, 1),
+        "device_ms_per_image": round(device_ms / BATCH, 1),
+        "roofline_images_per_sec": round(
+            1000 / max(decode_ms, device_ms / BATCH), 1),
+        "note": ("disk->classification_results.json via infer_and_classify "
+                 "(thread-pool decode overlapped with async device "
+                 "dispatch); roofline = 1000/max(decode, device) per image "
+                 "on this 1-core host"),
+    }
+    print(json.dumps(entry, indent=2))
+
+    out = os.path.join(os.path.dirname(__file__), "report.json")
+    report = {}
+    if os.path.exists(out):
+        with open(out) as f:
+            report = json.load(f)
+    report["infer_full_e2e_1024px"] = entry
+    with open(out, "w") as f:
+        json.dump(report, f, indent=2)
+    print(f"report updated: {out}")
+
+
+if __name__ == "__main__":
+    main()

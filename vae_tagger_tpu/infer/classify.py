@@ -66,6 +66,23 @@ def infer_and_classify(engine: TaggerEngine, image_path: str,
     processed, errors = 0, 0
     meter = ThroughputMeter()
 
+    # one batch kept in flight: batch N's (async) device dispatch runs
+    # while batch N-1's probabilities are fetched + formatted on host and
+    # the pipeline threads decode batch N+1
+    pending = None
+
+    def finalize(paths, device_probs, n):
+        nonlocal processed
+        probs = np.asarray(device_probs)[:n]
+        for path, p in zip(paths, probs):
+            results[path] = _format_results(engine.tag_names, p,
+                                            confidence_threshold)
+        processed += n
+        meter.update(n)
+        if verbose and processed % 100 < batch_size:
+            print(f"processed {processed}/{len(image_paths)} images "
+                  f"({errors} errors skipped)")
+
     for evt in iter_image_batches(image_paths, resolution, batch_size,
                                   num_workers, prefetch_factor):
         if evt[0] == "error":
@@ -77,15 +94,12 @@ def infer_and_classify(engine: TaggerEngine, image_path: str,
         if n < batch_size:  # pad tail to the compiled batch shape
             pad = np.repeat(block[-1:], batch_size - n, axis=0)
             block = np.concatenate([block, pad], axis=0)
-        probs = engine.classify(block)[:n]
-        for path, p in zip(batch_paths, probs):
-            results[path] = _format_results(engine.tag_names, p,
-                                            confidence_threshold)
-        processed += n
-        meter.update(n)
-        if verbose and processed % 100 < batch_size:
-            print(f"processed {processed}/{len(image_paths)} images "
-                  f"({errors} errors skipped)")
+        device_probs, _ = engine.classify_async(block)
+        if pending is not None:
+            finalize(*pending)
+        pending = (batch_paths, device_probs, n)
+    if pending is not None:
+        finalize(*pending)
 
     if verbose:
         print(f"done — ok: {processed}, failed: {errors}, "

@@ -240,10 +240,20 @@ class TaggerEngine:
 
     def classify(self, pixels_uint8: np.ndarray) -> np.ndarray:
         """(B, H, W, 3) uint8 -> (B, num_tags) sigmoid probabilities."""
+        probs, b = self.classify_async(pixels_uint8)
+        return np.asarray(probs)[:b]
+
+    def classify_async(self, pixels_uint8: np.ndarray):
+        """Dispatch without fetching: returns (device_probs, real_count).
+
+        jax dispatch is async — the caller can decode/format the previous
+        batch while this one runs, then ``np.asarray(device_probs)[:count]``
+        when it actually needs the numbers (used by infer/classify.py to
+        keep one batch in flight)."""
         px, b = self._pad_batch(pixels_uint8, self._pad_multiple())
         _, probs = self._encode_classify_fn(
             self.vae_params, self.decoder_variables, self._place(px))
-        return np.asarray(probs)[:b]
+        return probs, b
 
     def encode_and_classify(self, pixels_uint8: np.ndarray):
         px, b = self._pad_batch(pixels_uint8, self._pad_multiple())

@@ -126,7 +126,7 @@ def train_decoder(args):
                  else "non-deterministic image transform "
                       f"(crop_mode={dataset.crop_mode!r})"))
     latent_cache = {}
-    cache_state = {"bytes": 0, "capped": False}
+    cache_state = {"bytes": 0, "capped": False, "hits": 0, "misses": 0}
     cache_cap = int(getattr(args, "cache_latents_max_gb", 8) * 1e9)
 
     def _batch_latents(batch):
@@ -140,7 +140,9 @@ def train_decoder(args):
         idxs = np.asarray(jax.device_get(batch["index"])).tolist()
         cached = [latent_cache.get(i) for i in idxs]
         if all(c is not None for c in cached):
+            cache_state["hits"] += 1
             return shard_batch({"x": np.stack(cached)}, mesh)["x"], None
+        cache_state["misses"] += 1
         latents = train_step.encode(vae_params, batch["pixel_values"])
 
         def store():
@@ -223,6 +225,8 @@ def train_decoder(args):
 
     print("training complete; final evaluation...")
     loop.save_history(args.output_dir)
+    if cache_enabled:  # count the final phase separately from training
+        cache_state["hits"] = cache_state["misses"] = 0
 
     def predict_fn(batch):
         # run_eval reuses the warm latent cache (--cache_latents): after
@@ -240,5 +244,10 @@ def train_decoder(args):
     evaluate_model(predict_fn, val_loader, class_names,
                    threshold=thresholds["global_threshold"],
                    output_dir=args.output_dir, collected=collected)
+    if cache_enabled:
+        # after >= 1 full epoch every val latent is hot, so this phase must
+        # run encode-free (16x step speedup carried to the end of training)
+        print(f"final eval latent cache: {cache_state['hits']} cached "
+              f"batches, {cache_state['misses']} encoded batches")
     print("training and evaluation complete")
     return state
