@@ -252,11 +252,23 @@ def _make_handler(worker: BatchingWorker, engine: TaggerEngine,
             try:
                 data = self.rfile.read(length)
                 # reference inference transform: square distorting BILINEAR
-                # resize (modules.py:136-140); normalize happens on device
-                img = Image.open(io.BytesIO(data)).convert("RGB")
-                pixels = np.asarray(
-                    img.resize((resolution, resolution), Image.BILINEAR),
-                    dtype=np.uint8)
+                # resize (modules.py:136-140); normalize happens on device.
+                # Fused native decode when built (GIL-free — handler threads
+                # scale on the 1-core host); PIL fallback otherwise.
+                pixels = None
+                try:
+                    from .. import native
+
+                    pixels = native.decode_image_resize(
+                        data, resolution, resolution, "distort",
+                        resample="bilinear")
+                except Exception:
+                    pixels = None
+                if pixels is None:
+                    img = Image.open(io.BytesIO(data)).convert("RGB")
+                    pixels = np.asarray(
+                        img.resize((resolution, resolution), Image.BILINEAR),
+                        dtype=np.uint8)
             except Exception as e:
                 self._json(400, {"error": f"bad image: {e}"})
                 return
