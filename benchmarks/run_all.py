@@ -234,10 +234,20 @@ def main():
         full_flops = float(full_c.cost_analysis().get("flops", 0.0))
 
         # Per-dispatch timing (NOT a chained scan): the 1024px bs1 remat
-        # step sits at the HBM edge and a scan carries a second live copy
-        # of the donated train state, which exhausts device memory.  The
-        # per-dispatch figure includes ~100ms relay RTT per step (~10%
-        # here); distinct batches per step keep XLA honest.
+        # step sits at the HBM edge — a donated-carry scan FITS (14.1 GB
+        # peak) but XLA degrades the schedule to squeeze it in and measures
+        # 1.9x SLOWER (1729 vs 906 ms/step, round-3 probe), so chaining is
+        # the wrong instrument here.  Instead the relay's dispatch RTT is
+        # MEASURED (trivial jitted scalar round trip) and subtracted, which
+        # removes the known harness pollution without changing the program.
+        tiny = jax.jit(lambda x: x + 1.0)
+        z = jnp.float32(0)
+        jax.device_get(tiny(z))
+        t0 = time.perf_counter()
+        for _ in range(10):
+            jax.device_get(tiny(z))
+        rtt = (time.perf_counter() - t0) / 10
+
         ones = [jax.tree.map(lambda x: jnp.array(x[i]), fbatches)
                 for i in range(n_full)]
         state, m = full_c(state, ones[0], fkeys[0])
@@ -247,11 +257,16 @@ def main():
             state, m = full_c(state, ones[i % n_full], fkeys[i % n_full])
             jax.device_get(m["loss"])
         dt = (time.perf_counter() - t0) / 3
-        note = ("per-dispatch timing (includes ~100ms relay RTT per step; "
-                "cost-analysis flops include remat recompute)")
+        note = ("per-dispatch timing with the measured relay RTT "
+                "subtracted for the corrected figure; cost-analysis flops "
+                "include remat recompute")
         results["train_full_1024px_batch1_remat"] = {
             "ms_per_step": round(dt * 1000, 1),
+            "rtt_ms": round(rtt * 1000, 1),
+            "ms_per_step_rtt_corrected": round((dt - rtt) * 1000, 1),
             "train_mfu": round(full_flops / dt / 197e12, 3),
+            "train_mfu_rtt_corrected": round(
+                full_flops / (dt - rtt) / 197e12, 3),
             "note": note}
         print("5.", results["train_full_1024px_batch1_remat"])
 

@@ -275,6 +275,8 @@ def _flash_attention_bwd_impl(q, k, v, o, lse, g, block_q: int = 512,
             bytes_accessed=5 * b * s_pad * d * q.dtype.itemsize,
             transcendentals=b * s_pad * s_pad,
         ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=30 * 1024 * 1024),
     )(q, k, v, g, lse_b, dmat_b)
 
     dk, dv = pl.pallas_call(
@@ -314,6 +316,8 @@ def _flash_attention_bwd_impl(q, k, v, o, lse, g, block_q: int = 512,
             bytes_accessed=6 * b * s_pad * d * q.dtype.itemsize,
             transcendentals=b * s_pad * s_pad,
         ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=30 * 1024 * 1024),
     )(q, k, v, g, lse_b, dmat_b)
 
     return dq[:, :s, :], dk[:, :s, :], dv[:, :s, :]

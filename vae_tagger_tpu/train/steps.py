@@ -42,16 +42,33 @@ from ..models.autoencoder_kl import (
 )
 from ..ops.image import normalize_uint8
 
+# Stacked-triplet-encode pixel budget (padded_rows * H * W): above this the
+# checkpointed encode stays per-member to bound HBM (1024x1024 bs1 measured
+# 206MB over capacity stacked).  Measured fit points: 8x576x768 = 3.5M px
+# peaks 6.0 GB, 16x576x768 = 7.1M px peaks 11.45 GB (0.690 MFU) — the
+# limit admits up to ~11.5 GB peaks with ~4 GB headroom on a 16 GB v5e.
+_STACK_PX_LIMIT = 7_200_000
+
 
 def _triplet_posterior(vae: AutoencoderKL, vae_params, batch, compute_dtype,
                        checkpoint_encode: bool) -> DiagonalGaussian:
     """Posterior over the concatenated (3B) anchor/positive/negative batch.
 
-    checkpoint_encode=True additionally wraps each member's encode in
-    jax.checkpoint (on top of per-block remat) so the backward holds at most
-    one image's encoder state — this is what makes 1024px triplet training
-    fit in a single v5e's 16GB HBM (measured: 20.2GB no remat, 16.0GB block
-    remat, fits with this on)."""
+    checkpoint_encode=True additionally wraps the encode in jax.checkpoint
+    (on top of per-block remat) so the backward holds at most one encode's
+    state — this is what makes 1024px triplet training fit in a single
+    v5e's 16GB HBM (measured: 20.2GB no remat, 16.0GB block remat, fits
+    with this on).
+
+    Adaptive stacking (round 3): per-member encodes at B < 8 run with
+    sub-8 sublane rows — the measured ~3x per-pixel penalty (768x576 bs2:
+    0.234 MFU per-member vs 0.671 at full rows).  When the sublane-padded
+    3B stack still bounds memory (padded_rows * H * W <= _STACK_PX_LIMIT —
+    768x576 bs2 pads 6->8 and fits at 6.0 GB, bs4 at 11.45 GB; 1024x1024
+    bs1 measured 206MB OVER HBM stacked, so it stays per-member), the
+    checkpointed encode runs on the
+    padded stack instead: one full-row encode, same O(one encode) backward
+    state."""
     if not checkpoint_encode:
         images = jnp.concatenate([batch["anchor"], batch["positive"],
                                   batch["negative"]], axis=0)
@@ -84,6 +101,24 @@ def _triplet_posterior(vae: AutoencoderKL, vae_params, batch, compute_dtype,
         x = normalize_uint8(px, compute_dtype)
         post = vae.apply({"params": p}, x, method=AutoencoderKL.encode)
         return post.mean, post.logvar
+
+    b, h, w = (batch["anchor"].shape[0], batch["anchor"].shape[1],
+               batch["anchor"].shape[2])
+    rows = 3 * b
+    padded = -(-rows // 8) * 8
+    # same inflation gate as the non-checkpoint branch: padding 3 rows to 8
+    # would nearly triple compute — not worth full sublanes
+    if b % 8 and padded * h * w <= _STACK_PX_LIMIT and padded * 3 <= rows * 4:
+        # stacked + sublane-padded encode under ONE checkpoint: full-row
+        # throughput, backward still holds one encode's state
+        images = jnp.concatenate([batch["anchor"], batch["positive"],
+                                  batch["negative"]], axis=0)
+        if jax.default_backend() == "tpu" and padded != rows:
+            images = jnp.concatenate(
+                [images, jnp.zeros((padded - rows, *images.shape[1:]),
+                                   images.dtype)], axis=0)
+        mean, logvar = enc(vae_params, images)
+        return DiagonalGaussian(mean=mean[:rows], logvar=logvar[:rows])
 
     parts = [enc(vae_params, batch[k])
              for k in ("anchor", "positive", "negative")]
