@@ -247,6 +247,67 @@ def test_checkpoint_encode_matches():
         results[0][1], results[1][1])
 
 
+def test_stacked_checkpoint_encode_padded_matches(monkeypatch):
+    """The round-3 adaptive stacked triplet encode, in its TPU form (3B=6
+    rows sublane-padded to 8 under one jax.checkpoint), must match the
+    plain checkpoint path's loss and gradients: pad rows are zeros, sliced
+    off before sampling, and GroupNorm is per-sample so they cannot leak."""
+    from vae_tagger_tpu.ops import backend as kernel_backend
+
+    vae, decoder, vae_params, dec_vars = _models()
+    cfg = LossConfig(use_focal_loss=True)
+    tx = build_optimizer(optax.constant_schedule(1e-4), 0.0, 0.0, 1)
+    batch = _batch()  # b=2 -> 6 rows, stacked branch pads to 8 on "tpu"
+
+    def run():
+        params = {"vae": _fresh(vae_params),
+                  "decoder": _fresh(dec_vars["params"])}
+        state = TrainState.create(
+            params, tx, batch_stats=_fresh(dec_vars.get("batch_stats")))
+        train_step, _ = make_full_steps(vae, decoder, cfg,
+                                        use_simplified=True,
+                                        checkpoint_encode=True)
+        state, metrics = train_step(state, batch, jax.random.key(0))
+        return float(metrics["loss"]), jax.device_get(state.params)
+
+    loss_plain, params_plain = run()
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    with kernel_backend.backend("xla"):
+        loss_padded, params_padded = run()
+    np.testing.assert_allclose(loss_plain, loss_padded, rtol=1e-5)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=1e-3, atol=2e-4),
+        params_plain, params_padded)
+
+
+def test_stacked_checkpoint_encode_respects_px_limit(monkeypatch):
+    """Above _STACK_PX_LIMIT the checkpointed encode must fall back to
+    per-member encodes (the memory bound that keeps 1024px bs1 in HBM) and
+    still produce the same loss."""
+    from vae_tagger_tpu.train import steps as steps_mod
+
+    vae, decoder, vae_params, dec_vars = _models()
+    cfg = LossConfig(use_focal_loss=True)
+    tx = build_optimizer(optax.constant_schedule(1e-4), 0.0, 0.0, 1)
+    batch = _batch()
+
+    def run():
+        params = {"vae": _fresh(vae_params),
+                  "decoder": _fresh(dec_vars["params"])}
+        state = TrainState.create(
+            params, tx, batch_stats=_fresh(dec_vars.get("batch_stats")))
+        train_step, _ = make_full_steps(vae, decoder, cfg,
+                                        use_simplified=True,
+                                        checkpoint_encode=True)
+        state, metrics = train_step(state, batch, jax.random.key(0))
+        return float(metrics["loss"])
+
+    loss_stacked = run()
+    monkeypatch.setattr(steps_mod, "_STACK_PX_LIMIT", 0)
+    loss_member = run()
+    np.testing.assert_allclose(loss_stacked, loss_member, rtol=1e-5)
+
+
 def test_training_determinism():
     """Same seed + same data -> identical loss sequence (replaces the
     reference's cudnn_deterministic story: jit compilation is deterministic
