@@ -7,11 +7,18 @@ A. Flash attention in the TRAINING context at S=4096.  The measured
    sweep (benchmarks/attention_bench.py); in a train step XLA's attention
    backward re-materializes B*S^2 fp32 scores (24 x 4096^2 x 4B = 1.6 GB
    per pass at bs8 triplets) while the Pallas backward stays O(S).
+   MEASURED 2026-08-17: flash 868.4 ms / 11.21 GB peak vs XLA 881.7 ms /
+   12.06 GB -> ops/attention.py now carries _FLASH_MIN_SEQ_TRAIN = 4096
+   and train-step tracing runs under attention.training_trace(), so the
+   "base" case below dispatches flash by default (re-measured 859.0 ms,
+   MFU 0.711).  Use "xla" to reproduce the old dispatch.
 B. Stacked 24-row checkpointed encode vs three per-member 8-row encodes
    (the adaptive-stacking gate currently only engages when b % 8 != 0).
+   MEASURED 2026-08-17: 883.2 ms and +0.9 GB peak vs 881.7 baseline — no
+   win at full sublane rows; the b % 8 != 0 gate stays as is.
 
 Run on the real TPU with nothing else on the host:
-    python benchmarks/probe_512_full.py
+    python benchmarks/probe_512_full.py [base|xla|stack|all]
 """
 
 from __future__ import annotations
@@ -108,11 +115,13 @@ def main():
     from vae_tagger_tpu.train import steps as steps_mod
 
     if which in ("all", "base"):
-        build_and_time("baseline (per-member encode, XLA attn S=4096)", rtt)
-    if which in ("all", "flash"):
-        attention._FLASH_MIN_SEQ = 4096
-        build_and_time("flash attention at S=4096", rtt)
-        attention._FLASH_MIN_SEQ = 4608
+        build_and_time("default dispatch (flash attn in training at S=4096)",
+                       rtt)
+    if which in ("all", "xla"):
+        orig_train = attention._FLASH_MIN_SEQ_TRAIN
+        attention._FLASH_MIN_SEQ_TRAIN = 1 << 30
+        build_and_time("XLA attention forced at S=4096", rtt)
+        attention._FLASH_MIN_SEQ_TRAIN = orig_train
     if which in ("all", "stack"):
         # engage the stacked path for b % 8 == 0 as well
         orig = steps_mod._triplet_posterior
@@ -146,9 +155,6 @@ def main():
         steps_mod._triplet_posterior = patched
         build_and_time("stacked 24-row encode", rtt)
         steps_mod._triplet_posterior = orig
-    if which == "both":
-        attention._FLASH_MIN_SEQ = 4096
-        build_and_time("flash S=4096 (combined run)", rtt)
 
 
 if __name__ == "__main__":

@@ -124,6 +124,49 @@ def test_backend_dispatch():
         assert not backend.use_pallas()
 
 
+def test_training_trace_threshold_selection():
+    """training_trace() lowers the flash crossover to the measured training
+    value for exactly the enclosed trace region, nests, and restores on
+    exceptions (probe: benchmarks/probe_512_full.py)."""
+    from vae_tagger_tpu.ops import attention
+
+    assert attention._min_flash_seq() == attention._FLASH_MIN_SEQ
+    with attention.training_trace():
+        assert attention._min_flash_seq() == attention._FLASH_MIN_SEQ_TRAIN
+        with attention.training_trace():
+            assert (attention._min_flash_seq()
+                    == attention._FLASH_MIN_SEQ_TRAIN)
+        assert attention._min_flash_seq() == attention._FLASH_MIN_SEQ_TRAIN
+    assert attention._min_flash_seq() == attention._FLASH_MIN_SEQ
+
+    with pytest.raises(RuntimeError):
+        with attention.training_trace():
+            raise RuntimeError("boom")
+    assert attention._min_flash_seq() == attention._FLASH_MIN_SEQ
+
+
+def test_training_trace_dispatch(monkeypatch):
+    """S=4096 (the 512px mid-block) routes to the flash kernel only inside a
+    training trace; forward/inference tracing keeps the XLA path."""
+    import vae_tagger_tpu.ops.pallas.flash_attention as fa
+    from vae_tagger_tpu.ops import attention, backend
+
+    calls = []
+
+    def fake_flash(q, k, v):
+        calls.append(q.shape[1])
+        return attention._xla_attention(q, k, v)
+
+    monkeypatch.setattr(fa, "flash_attention", fake_flash)
+    q = jnp.zeros((1, 4096, 4), jnp.float32)
+    with backend.backend("pallas"):
+        attention.spatial_single_head_attention(q, q, q)
+        assert calls == []
+        with attention.training_trace():
+            attention.spatial_single_head_attention(q, q, q)
+        assert calls == [4096]
+
+
 @pytest.mark.parametrize("dtype,tol", [(jnp.float32, 2e-5), (jnp.bfloat16, 3e-2)])
 def test_groupnorm_silu_chunked_matches_reference(dtype, tol):
     """Grid-chunked two-phase GN kernel (covers samples too large for VMEM,

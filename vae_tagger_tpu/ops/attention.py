@@ -13,6 +13,8 @@ setting) even when the surrounding network is bf16.
 
 from __future__ import annotations
 
+import contextlib
+
 import jax.numpy as jnp
 
 from . import backend
@@ -36,16 +38,49 @@ def _xla_attention(q, k, v):
 # (S=64) always takes the XLA path.
 _FLASH_MIN_SEQ = 4608
 
+# When a gradient flows through the attention the economics shift: XLA's
+# backward rematerializes the B*S^2 fp32 score matrix (1.6 GB/pass at the
+# 512px bs8 triplet step) while the Pallas backward stays O(S).  Measured in
+# the full train_full step (benchmarks/probe_512_full.py, S=4096 bs8
+# triplets): flash 868.4 ms/step vs XLA 881.7, peak HBM 11.21 vs 12.06 GB —
+# so training-context dispatch engages one bucket earlier.  S below 4096 is
+# unmeasured in a training context and keeps the forward policy.
+_FLASH_MIN_SEQ_TRAIN = 4096
+
+# Trace-time flag: dispatch runs in Python while a step function is being
+# traced, so the train-step builders (train/steps.py) wrap their bodies in
+# training_trace() and inference/eval tracing stays on the forward policy.
+_IN_TRAINING_TRACE = False
+
+
+@contextlib.contextmanager
+def training_trace():
+    """Mark the enclosed (trace-time) region as gradient-carrying.
+
+    Attention sites traced inside this context use the training crossover
+    _FLASH_MIN_SEQ_TRAIN instead of the forward-only _FLASH_MIN_SEQ."""
+    global _IN_TRAINING_TRACE
+    prev = _IN_TRAINING_TRACE
+    _IN_TRAINING_TRACE = True
+    try:
+        yield
+    finally:
+        _IN_TRAINING_TRACE = prev
+
+
+def _min_flash_seq() -> int:
+    return _FLASH_MIN_SEQ_TRAIN if _IN_TRAINING_TRACE else _FLASH_MIN_SEQ
+
 
 def spatial_single_head_attention(q, k, v):
     """Single-head self-attention over spatial tokens, (B, S, D) -> (B, S, D).
 
     Dispatches to the Pallas flash-attention kernel on TPU when the sequence
-    is long enough to benefit (measured, see _FLASH_MIN_SEQ); otherwise uses
-    the XLA path.
+    is long enough to benefit (measured, see _FLASH_MIN_SEQ /
+    _FLASH_MIN_SEQ_TRAIN); otherwise uses the XLA path.
     """
     s = q.shape[1]
-    if backend.use_pallas("flash_attention") and s >= _FLASH_MIN_SEQ:
+    if backend.use_pallas("flash_attention") and s >= _min_flash_seq():
         from .pallas.flash_attention import flash_attention
 
         return flash_attention(q, k, v)

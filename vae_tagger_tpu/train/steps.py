@@ -35,6 +35,7 @@ from ..losses.combined import (
     simplified_combined_loss,
 )
 from ..losses.metric_learning import triplet_loss
+from ..ops.attention import training_trace
 from ..models.autoencoder_kl import (
     AutoencoderKL,
     DiagonalGaussian,
@@ -246,9 +247,12 @@ def make_vae_steps(vae: AutoencoderKL, cfg: LossConfig,
 
     @partial(jax.jit, donate_argnums=(0,))
     def train_step(state, batch, rng):
-        (_, metrics), grads = jax.value_and_grad(
-            lambda p: forward_losses(p, batch, rng), has_aux=True
-        )(state.params)
+        # trace-time context: the VAE mid-block attention backward favors
+        # the flash kernel one bucket earlier than forward-only dispatch
+        with training_trace():
+            (_, metrics), grads = jax.value_and_grad(
+                lambda p: forward_losses(p, batch, rng), has_aux=True
+            )(state.params)
         state = state.apply_gradients(grads)
         return state, metrics
 
@@ -324,10 +328,13 @@ def make_full_steps(vae: AutoencoderKL, decoder, cfg: LossConfig,
 
     @partial(jax.jit, donate_argnums=(0,))
     def train_step(state, batch, rng):
-        (_, (metrics, new_stats, _)), grads = jax.value_and_grad(
-            lambda p: forward_losses(p, state.batch_stats, batch, rng,
-                                     train=True),
-            has_aux=True)(state.params)
+        # trace-time context: see ops/attention.py::training_trace — the
+        # attention backward shifts the measured flash crossover to S>=4096
+        with training_trace():
+            (_, (metrics, new_stats, _)), grads = jax.value_and_grad(
+                lambda p: forward_losses(p, state.batch_stats, batch, rng,
+                                         train=True),
+                has_aux=True)(state.params)
         state = state.apply_gradients(grads, new_batch_stats=new_stats)
         return state, metrics
 
