@@ -1,0 +1,59 @@
+"""Shared helpers for the benchmark scripts (run as scripts from this
+directory, so plain ``from bench_common import ...`` resolves).
+
+Two pieces of methodology are load-bearing for every reported number
+(docs/PERF.md, CLAUDE.md round-3 notes) and must not drift between copies:
+
+- measure_rtt(): the tunneled backend adds ~30 ms of dispatch round-trip
+  per device_get; per-dispatch step timings subtract this MEASURED value
+  (a trivial jitted scalar round trip) rather than assuming one.
+- build_full_engine(): the full-size FLUX VAE + 1000-class attention
+  tagger used by the serving and e2e-inference benches (random weights —
+  throughput does not depend on the values).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+
+
+def measure_rtt(reps: int = 10) -> float:
+    """Seconds of per-dispatch round trip through the relay (jitted scalar
+    add, synced with jax.device_get like the timed loops it corrects)."""
+    tiny = jax.jit(lambda x: x + 1.0)
+    z = jnp.float32(0)
+    jax.device_get(tiny(z))  # compile
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        jax.device_get(tiny(z))
+    return (time.perf_counter() - t0) / reps
+
+
+def build_full_engine():
+    """Full-size FLUX VAE + 1000-class attention tagger in a TaggerEngine."""
+    from vae_tagger_tpu.core.config import default_flux_vae_config
+    from vae_tagger_tpu.core.precision import BF16
+    from vae_tagger_tpu.infer.engine import TaggerEngine, build_decoder
+    from vae_tagger_tpu.models.autoencoder_kl import AutoencoderKL
+
+    cfg = default_flux_vae_config()
+    vae = AutoencoderKL(cfg, dtype=BF16.compute_dtype)
+    decoder = build_decoder(1000, use_attention=True, latent_channels=16,
+                            policy=BF16)
+    vp = jax.jit(vae.init)({"params": jax.random.key(0)},
+                           jnp.zeros((1, 256, 256, 3)),
+                           jax.random.key(1))["params"]
+    dv = jax.jit(decoder.init, static_argnames=("deterministic",))(
+        {"params": jax.random.key(2)}, jnp.zeros((1, 32, 32, 16)),
+        deterministic=True)
+    return TaggerEngine(vae=vae, vae_params=vp, decoder=decoder,
+                        decoder_variables=dict(dv),
+                        tag_names=[f"tag_{i}" for i in range(1000)],
+                        policy=BF16)

@@ -38,14 +38,7 @@ H = W = 512
 B = 8
 
 
-def _measure_rtt():
-    tiny = jax.jit(lambda x: x + 1.0)
-    z = jnp.float32(0)
-    jax.device_get(tiny(z))
-    t0 = time.perf_counter()
-    for _ in range(10):
-        jax.device_get(tiny(z))
-    return (time.perf_counter() - t0) / 10
+from bench_common import measure_rtt  # noqa: E402
 
 
 def build_and_time(label, rtt):
@@ -108,7 +101,7 @@ def build_and_time(label, rtt):
 
 def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
-    rtt = _measure_rtt()
+    rtt = measure_rtt()
     print(f"RTT {rtt * 1e3:.1f} ms", flush=True)
 
     from vae_tagger_tpu.ops import attention

@@ -240,13 +240,9 @@ def main():
         # the wrong instrument here.  Instead the relay's dispatch RTT is
         # MEASURED (trivial jitted scalar round trip) and subtracted, which
         # removes the known harness pollution without changing the program.
-        tiny = jax.jit(lambda x: x + 1.0)
-        z = jnp.float32(0)
-        jax.device_get(tiny(z))
-        t0 = time.perf_counter()
-        for _ in range(10):
-            jax.device_get(tiny(z))
-        rtt = (time.perf_counter() - t0) / 10
+        from bench_common import measure_rtt
+
+        rtt = measure_rtt()
 
         ones = [jax.tree.map(lambda x: jnp.array(x[i]), fbatches)
                 for i in range(n_full)]

@@ -27,8 +27,6 @@ import urllib.request
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-import jax  # noqa: E402
-import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
 RESOLUTION = 512
@@ -36,26 +34,7 @@ CLIENTS = 16
 REQUESTS_PER_CLIENT = 6
 
 
-def _engine():
-    from vae_tagger_tpu.core.config import default_flux_vae_config
-    from vae_tagger_tpu.core.precision import BF16
-    from vae_tagger_tpu.infer.engine import TaggerEngine, build_decoder
-    from vae_tagger_tpu.models.autoencoder_kl import AutoencoderKL
-
-    cfg = default_flux_vae_config()
-    vae = AutoencoderKL(cfg, dtype=BF16.compute_dtype)
-    decoder = build_decoder(1000, use_attention=True, latent_channels=16,
-                            policy=BF16)
-    vp = jax.jit(vae.init)({"params": jax.random.key(0)},
-                           jnp.zeros((1, 256, 256, 3)),
-                           jax.random.key(1))["params"]
-    dv = jax.jit(decoder.init, static_argnames=("deterministic",))(
-        {"params": jax.random.key(2)}, jnp.zeros((1, 32, 32, 16)),
-        deterministic=True)
-    return TaggerEngine(vae=vae, vae_params=vp, decoder=decoder,
-                        decoder_variables=dict(dv),
-                        tag_names=[f"tag_{i}" for i in range(1000)],
-                        policy=BF16)
+from bench_common import build_full_engine as _engine  # noqa: E402
 
 
 def _jpeg_payload():

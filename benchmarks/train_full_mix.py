@@ -42,14 +42,7 @@ RNG = np.random.default_rng(0)
 BUCKETS = [(512, 512, 8), (576, 768, 4), (1024, 1024, 1)]
 
 
-def _measure_rtt():
-    tiny = jax.jit(lambda x: x + 1.0)
-    z = jnp.float32(0)
-    jax.device_get(tiny(z))
-    t0 = time.perf_counter()
-    for _ in range(10):
-        jax.device_get(tiny(z))
-    return (time.perf_counter() - t0) / 10
+from bench_common import measure_rtt  # noqa: E402
 
 
 def main():
@@ -61,7 +54,7 @@ def main():
     from vae_tagger_tpu.train.state import TrainState, build_optimizer
     from vae_tagger_tpu.train.steps import make_full_steps
 
-    rtt = _measure_rtt()
+    rtt = measure_rtt()
     print(f"measured dispatch RTT: {rtt * 1e3:.1f} ms")
 
     cfg = default_flux_vae_config()

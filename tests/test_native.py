@@ -250,6 +250,24 @@ def test_loader_square_path_uses_native_bilinear(tmp_path):
         assert diff.mean() < 1.0, (name, diff.mean())
 
 
+def test_decode_bytes_square_matches_file_loader(tmp_path):
+    """decode_bytes_square (the bytes-level policy shared with the HTTP
+    server) produces exactly what the file loader's square mode produces —
+    one owner for the transform, native or PIL fallback alike."""
+    from vae_tagger_tpu.data.bucketing import (
+        decode_bytes_square,
+        load_and_transform_image,
+    )
+
+    src = _smooth_image(300, 400)
+    p = tmp_path / "img.jpg"
+    Image.fromarray(src).save(p)
+    data = p.read_bytes()
+    np.testing.assert_array_equal(
+        decode_bytes_square(data, 64),
+        load_and_transform_image(str(p), resolution=64))
+
+
 @png_needed
 def test_loader_one_call_png_path(tmp_path):
     """Bucket-mode loading of a PNG goes through the one-call native decode

@@ -134,14 +134,18 @@ def test_http_bad_image_is_400(engine):
 
 
 def test_http_oversized_body_is_413(engine):
+    """The 413 JSON must actually reach the client even for a large unread
+    body (the server drains it in bounded chunks before closing — closing
+    with unread bytes triggers a TCP RST that can destroy the response)."""
     with TaggerServer(engine, resolution=64, host="127.0.0.1", port=0,
                       max_body_bytes=1024) as server:
         req = urllib.request.Request(
             f"http://127.0.0.1:{server.port}/classify",
-            data=b"x" * 2048, method="POST")
+            data=b"x" * (8 * 1024 * 1024), method="POST")
         with pytest.raises(urllib.error.HTTPError) as ei:
             urllib.request.urlopen(req, timeout=30)
         assert ei.value.code == 413
+        assert "exceeds" in json.load(ei.value)["error"]
 
 
 def test_http_multi_resolution_programs(engine):
@@ -196,6 +200,75 @@ def test_worker_backpressure_queue_full():
                 worker.submit(px)
             stalled.release.set()
             for f in futs:
+                assert f.result(timeout=60).shape == (4,)
+    finally:
+        worker.stop()
+
+
+class _RecordingStallEngine(_StallingEngine):
+    """Stalls like _StallingEngine and records the batch shapes it serves."""
+
+    def __init__(self, num_tags=4):
+        super().__init__(num_tags)
+        self.shapes = []
+
+    def classify(self, pixels):
+        self.shapes.append(pixels.shape[1:3])
+        return super().classify(pixels)
+
+
+def test_worker_cross_shape_fifo_no_starvation():
+    """Oldest-head-first shape selection: a minority-resolution request
+    enqueued BEFORE a flood of the dominant shape is served next, not
+    starved behind the larger backlog."""
+    import time
+
+    eng = _RecordingStallEngine()
+    worker = BatchingWorker(eng, max_batch=2, batch_timeout_ms=1,
+                            max_queue=16)
+    try:
+        a = np.zeros((8, 8, 3), np.uint8)
+        b = np.zeros((16, 16, 3), np.uint8)
+        with concurrent.futures.ThreadPoolExecutor(8) as ex:
+            f0 = ex.submit(worker.submit, a)
+            time.sleep(0.3)  # worker takes the first batch and wedges
+            fb = ex.submit(worker.submit, b)  # minority shape, enqueued first
+            time.sleep(0.1)
+            fas = [ex.submit(worker.submit, a) for _ in range(4)]  # flood
+            time.sleep(0.3)
+            eng.release.set()
+            for f in [f0, fb] + fas:
+                assert f.result(timeout=60).shape == (4,)
+        # batch 0 was the wedged one; the NEXT batch must be the minority
+        # shape (its head is the oldest), not the 4-deep dominant backlog
+        assert eng.shapes[1] == (16, 16)
+    finally:
+        worker.stop()
+
+
+def test_worker_timeout_withdraws_queued_request():
+    """A submit() that times out removes its item from the queue: the slot
+    frees up for live clients and the worker never burns a batch on it."""
+    import time
+
+    stalled = _StallingEngine()
+    worker = BatchingWorker(stalled, max_batch=1, batch_timeout_ms=1,
+                            max_queue=2)
+    try:
+        px = np.zeros((8, 8, 3), np.uint8)
+        with concurrent.futures.ThreadPoolExecutor(4) as ex:
+            f0 = ex.submit(worker.submit, px)
+            time.sleep(0.3)  # worker wedges on f0's batch
+            f1 = ex.submit(worker.submit, px)  # fills queue slot 1 of 2
+            time.sleep(0.2)
+            with pytest.raises(TimeoutError):
+                worker.submit(px, timeout=0.3)  # queued, then abandoned
+            with worker._cond:
+                assert worker._size == 1  # the dead item released its slot
+            f2 = ex.submit(worker.submit, px)  # must NOT hit QueueFullError
+            time.sleep(0.2)
+            stalled.release.set()
+            for f in (f0, f1, f2):
                 assert f.result(timeout=60).shape == (4,)
     finally:
         worker.stop()

@@ -197,6 +197,32 @@ def _native_decode_resize(path, width: int, height: int, crop_mode: str,
         return None, None
 
 
+def decode_bytes_square(data: bytes, resolution: int,
+                        dtype=np.uint8) -> np.ndarray:
+    """Raw image bytes -> (resolution, resolution, 3) uint8 via the
+    reference's square distorting BILINEAR transform (modules.py:136-140).
+
+    Single owner of the bytes-level decode policy shared by the file loader
+    (square mode) and the HTTP server: fused native decode+resize when the
+    C++ library is built (GIL-free on the 1-core host), PIL fallback
+    otherwise.  Raises on undecodable bytes."""
+    try:
+        from .. import native
+
+        fmt = native.sniff_format(data)
+        if fmt is not None and fmt in native.decode_formats():
+            out = native.decode_image_resize(data, resolution, resolution,
+                                             "distort", quality_factor=2,
+                                             resample="bilinear")
+            if out is not None:
+                return out.astype(dtype, copy=False)
+    except Exception:
+        pass
+    img = Image.open(io.BytesIO(data)).convert("RGB")
+    return np.asarray(img.resize((resolution, resolution), Image.BILINEAR),
+                      dtype=dtype)
+
+
 def load_and_transform_image(
     path,
     resolution: Optional[int] = None,
@@ -216,15 +242,23 @@ def load_and_transform_image(
     Normalization to [-1, 1] is done on device (see ops/image.py) — the host
     hands over uint8.
     """
+    if resolution is not None and bucket is None:
+        # square mode shares the bytes-level policy with the HTTP server
+        try:
+            with open(path, "rb") as f:
+                data = f.read()
+        except (OSError, TypeError):
+            data = None
+        if data is not None:
+            return decode_bytes_square(data, resolution, dtype=dtype)
+        img = Image.open(path).convert("RGB")
+        img = img.resize((resolution, resolution), Image.BILINEAR)
+        return np.asarray(img, dtype=dtype)
+
     data = None
     if bucket is not None:
         out, data = _native_decode_resize(path, bucket[0], bucket[1],
                                           crop_mode)
-        if out is not None:
-            return out.astype(dtype, copy=False)
-    elif resolution is not None:
-        out, data = _native_decode_resize(path, resolution, resolution,
-                                          "distort", resample="bilinear")
         if out is not None:
             return out.astype(dtype, copy=False)
     # reuse the already-read bytes when the native path declined
@@ -235,8 +269,6 @@ def load_and_transform_image(
         if out is not None:
             return out.astype(dtype, copy=False)
         img = SmartResize(bucket[0], bucket[1], crop_mode)(img)
-    elif resolution is not None:
-        img = img.resize((resolution, resolution), Image.BILINEAR)
     return np.asarray(img, dtype=dtype)
 
 

@@ -18,7 +18,7 @@ import numpy as np
 from ..data.paths import get_image_paths
 from ..utils.profiling import ThroughputMeter
 from .engine import TaggerEngine
-from .pipeline import iter_image_batches
+from .pipeline import iter_image_batches, pad_tail_rows
 
 
 def _format_results(tag_names: List[str], probs: np.ndarray,
@@ -91,9 +91,7 @@ def infer_and_classify(engine: TaggerEngine, image_path: str,
             continue
         _, batch_paths, block = evt
         n = len(batch_paths)
-        if n < batch_size:  # pad tail to the compiled batch shape
-            pad = np.repeat(block[-1:], batch_size - n, axis=0)
-            block = np.concatenate([block, pad], axis=0)
+        block = pad_tail_rows(block, batch_size)  # keep the compiled shape
         device_probs, _ = engine.classify_async(block)
         if pending is not None:
             finalize(*pending)

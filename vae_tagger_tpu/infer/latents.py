@@ -16,7 +16,7 @@ import numpy as np
 from ..data.paths import get_image_paths
 from ..utils.profiling import ThroughputMeter
 from .engine import TaggerEngine, load_vae_bundle
-from .pipeline import iter_image_batches
+from .pipeline import iter_image_batches, pad_tail_rows
 
 
 def flatten_latent_torch_order(latent_nhwc: np.ndarray) -> np.ndarray:
@@ -51,9 +51,7 @@ def infer_and_save_latents(engine, image_path: str,
             continue
         _, batch_paths, block = evt
         n = len(batch_paths)
-        if n < batch_size:
-            block = np.concatenate(
-                [block, np.repeat(block[-1:], batch_size - n, axis=0)], axis=0)
+        block = pad_tail_rows(block, batch_size)  # keep the compiled shape
         latents = engine.encode(block)[:n]
         for path, z in zip(batch_paths, latents):
             latent_data[path] = flatten_latent_torch_order(

@@ -23,6 +23,23 @@ import numpy as np
 from ..data.bucketing import load_and_transform_image
 
 
+def pad_tail_rows(block: np.ndarray, rows: int) -> np.ndarray:
+    """Pad a tail batch up to the compiled ``rows`` by repeating the last
+    row (results of pad rows are sliced off by the caller).
+
+    This is deliberately done on the host at ``batch_size`` rather than
+    left to ``TaggerEngine._pad_batch``: the engine only rounds up to the
+    sublane multiple (8 on TPU), so with ``batch_size > 8`` an engine-padded
+    tail would be a NEW compiled batch shape — minutes of compile through a
+    remote-compile relay for one partial batch.  Repeating to the already
+    compiled shape reuses the hot program."""
+    n = block.shape[0]
+    if n >= rows:
+        return block
+    return np.concatenate(
+        [block, np.repeat(block[-1:], rows - n, axis=0)], axis=0)
+
+
 def iter_image_batches(image_paths: Sequence, resolution: int,
                        batch_size: int, num_workers: int = 4,
                        prefetch_factor: int = 2) -> Iterator[tuple]:

@@ -33,7 +33,6 @@ Endpoints:
 
 from __future__ import annotations
 
-import io
 import json
 import threading
 import time
@@ -43,8 +42,8 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Dict, Optional, Sequence, Tuple
 
 import numpy as np
-from PIL import Image
 
+from ..data.bucketing import decode_bytes_square
 from ..infer.classify import _format_results
 from ..infer.engine import TaggerEngine
 
@@ -54,13 +53,14 @@ class QueueFullError(Exception):
 
 
 class _Pending:
-    __slots__ = ("pixels", "event", "probs", "error")
+    __slots__ = ("pixels", "event", "probs", "error", "ts")
 
     def __init__(self, pixels):
         self.pixels = pixels
         self.event = threading.Event()
         self.probs = None
         self.error: Optional[Exception] = None
+        self.ts = time.monotonic()  # enqueue time: cross-shape FIFO order
 
 
 class BatchingWorker:
@@ -98,16 +98,29 @@ class BatchingWorker:
         Raises QueueFullError immediately when max_queue requests are
         already pending (callers translate to 503)."""
         item = _Pending(pixels)
+        shape = tuple(pixels.shape)
         with self._cond:
             if self._stop:
                 raise RuntimeError("server is shutting down")
             if self._size >= self.max_queue:
                 raise QueueFullError(
                     f"request queue full ({self.max_queue} pending)")
-            self._queues.setdefault(tuple(pixels.shape), deque()).append(item)
+            self._queues.setdefault(shape, deque()).append(item)
             self._size += 1
             self._cond.notify()
         if not item.event.wait(timeout or self.request_timeout_s):
+            # withdraw from the queue so an abandoned request neither holds
+            # max_queue capacity nor burns a device batch nobody will read
+            with self._cond:
+                q = self._queues.get(shape)
+                if q is not None:
+                    try:
+                        q.remove(item)
+                        self._size -= 1
+                        if not q:
+                            del self._queues[shape]
+                    except ValueError:
+                        pass  # the worker already took it
             raise TimeoutError("classify request timed out")
         if item.error is not None:
             raise item.error
@@ -139,8 +152,11 @@ class BatchingWorker:
                 if self._stop:
                     return None
                 self._cond.wait(timeout=0.5)
-            # largest backlog first: drains the dominant shape at full batch
-            shape = max(self._queues, key=lambda s: len(self._queues[s]))
+            # oldest head first (cross-shape FIFO): a minority resolution
+            # cannot be starved by a sustained flood of the dominant one —
+            # its head reaches the front of the global order after at most
+            # one max_batch drain of every younger queue
+            shape = min(self._queues, key=lambda s: self._queues[s][0].ts)
             batch = self._pop_shape(shape, self.max_batch)
         deadline = time.monotonic() + self.timeout_s
         while len(batch) < self.max_batch:
@@ -207,6 +223,22 @@ def _make_handler(worker: BatchingWorker, engine: TaggerEngine,
             self.end_headers()
             self.wfile.write(body)
 
+        def _discard_body(self, length: int, cap: int = 256 * 1024 * 1024):
+            """Read and throw away up to ``cap`` bytes of an unread body in
+            1 MB chunks (never buffered whole); truly enormous bodies
+            force-close the connection instead of draining forever."""
+            remaining = min(length, cap)
+            try:
+                while remaining > 0:
+                    chunk = self.rfile.read(min(1 << 20, remaining))
+                    if not chunk:
+                        break
+                    remaining -= len(chunk)
+            except Exception:
+                pass
+            if length > cap:
+                self.close_connection = True
+
         def do_GET(self):
             if self.path == "/healthz":
                 self._json(200, {"status": "ok",
@@ -245,30 +277,23 @@ def _make_handler(worker: BatchingWorker, engine: TaggerEngine,
                 self._json(400, {"error": "empty body"})
                 return
             if length > max_body_bytes:
-                # reject BEFORE reading: the body is never buffered
+                # reject BEFORE buffering the body in RAM; then drain it in
+                # bounded chunks so the connection closes cleanly — closing
+                # with unread bytes in the kernel buffer triggers a TCP RST
+                # that can discard the in-flight 413 before the client reads
+                # it
                 self._json(413, {"error": f"body exceeds "
                                           f"{max_body_bytes} bytes"})
+                self._discard_body(length)
                 return
             try:
                 data = self.rfile.read(length)
                 # reference inference transform: square distorting BILINEAR
-                # resize (modules.py:136-140); normalize happens on device.
-                # Fused native decode when built (GIL-free — handler threads
-                # scale on the 1-core host); PIL fallback otherwise.
-                pixels = None
-                try:
-                    from .. import native
-
-                    pixels = native.decode_image_resize(
-                        data, resolution, resolution, "distort",
-                        resample="bilinear")
-                except Exception:
-                    pixels = None
-                if pixels is None:
-                    img = Image.open(io.BytesIO(data)).convert("RGB")
-                    pixels = np.asarray(
-                        img.resize((resolution, resolution), Image.BILINEAR),
-                        dtype=np.uint8)
+                # resize — shared bytes-level policy with the file loader
+                # (data/bucketing.py::decode_bytes_square; fused native
+                # decode when built, GIL-free on the 1-core host; PIL
+                # fallback otherwise).  Normalize happens on device.
+                pixels = decode_bytes_square(data, resolution)
             except Exception as e:
                 self._json(400, {"error": f"bad image: {e}"})
                 return
