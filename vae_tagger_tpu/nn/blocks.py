@@ -20,7 +20,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..ops.conv import gn_silu_conv3x3
+from ..ops.conv import conv2d_slabbed, gn_silu_conv3x3, slab_eligible
 from ..ops.normalization import group_norm_silu
 from ..ops.attention import spatial_single_head_attention
 
@@ -58,12 +58,16 @@ class Conv2D(nn.Module):
     Exists so the fused ResnetBlock path can read the raw weights
     (``return_weights=True``) while the unfused path applies the identical
     convolution — checkpoints are interchangeable with nn.Conv.
+
+    Under an ``ops.conv.slab_trace(n)`` trace context, eligible 3x3 convs
+    run H-folded into n slabs per image (full sublane rows at tiny batch,
+    same arithmetic via explicit halo rows) — see ops/conv.py.
     """
 
     features: int
     kernel_size: tuple = (3, 3)
     strides: tuple = (1, 1)
-    padding: str = "SAME"
+    padding: object = "SAME"
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -77,6 +81,10 @@ class Conv2D(nn.Module):
                           (self.features,), self.param_dtype)
         if return_weights:
             return kernel, bias
+        if slab_eligible(x.shape, kernel.shape, self.strides, self.padding):
+            return conv2d_slabbed(
+                x.astype(self.dtype), kernel.astype(self.dtype),
+                bias.astype(self.dtype), strides=self.strides)
         out = jax.lax.conv_general_dilated(
             x.astype(self.dtype), kernel.astype(self.dtype),
             self.strides, self.padding,
@@ -85,7 +93,9 @@ class Conv2D(nn.Module):
 
 
 def _conv(features, kernel, name, dtype, param_dtype, strides=(1, 1), padding="SAME"):
-    return nn.Conv(
+    # Conv2D is param-compatible with nn.Conv ("kernel" HWIO lecun-normal,
+    # "bias" zeros) and additionally slab-aware under slab_trace().
+    return Conv2D(
         features=features,
         kernel_size=kernel,
         strides=strides,
@@ -185,7 +195,7 @@ class Downsample(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        return nn.Conv(
+        return Conv2D(
             features=self.out_channels,
             kernel_size=(3, 3),
             strides=(2, 2),
