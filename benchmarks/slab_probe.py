@@ -103,7 +103,10 @@ def encode_probe(batch, hw, chain, slabs=0, method="fixup"):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--chain", type=int, default=4)
+    p.add_argument("--only", type=str, default="",
+                   help="comma-separated entry names to run (default: all)")
     args = p.parse_args()
+    only = set(args.only.split(",")) if args.only else None
 
     rtt = measure_rtt()
     out = {"rtt_ms": round(rtt * 1e3, 1)}
@@ -117,6 +120,8 @@ def main():
         "pair_n1_512_c256": (1, 512, 256, 0, ""),
         "pair_n1_512_c256_slab8_fixup": (1, 512, 256, 8, "fixup"),
     }.items():
+        if only and name not in only:
+            continue
         dt, tflops = block_pair_probe(b, hw, c, args.chain, slabs, method)
         out[name] = {"ms": round(dt * 1e3, 2),
                      "tflops": round(tflops, 1),
@@ -129,7 +134,13 @@ def main():
         "encode_n3_1024": (3, 1024, 0, ""),
         "encode_n3_1024_slab8_fixup": (3, 1024, 8, "fixup"),
         "encode_n8_1024": (8, 1024, 0, ""),
+        # the N=3 stack is the bs1 non-remat triplet path (steps.py):
+        # is the 1024px stacked-N=3 pathology also present at 512px?
+        "encode_n1_512": (1, 512, 0, ""),
+        "encode_n3_512": (3, 512, 0, ""),
     }.items():
+        if only and name not in only:
+            continue
         dt = encode_probe(b, hw, args.chain, slabs, method)
         out[name] = {"ms": round(dt * 1e3, 1),
                      "ms_per_image": round(dt * 1e3 / b, 2)}

@@ -280,6 +280,39 @@ def test_stacked_checkpoint_encode_padded_matches(monkeypatch):
         params_plain, params_padded)
 
 
+def test_bs1_per_member_encode_matches_stacked(monkeypatch):
+    """On TPU the bs1 non-checkpoint triplet encode runs three per-member
+    N=1 encodes (the stacked 3-row encode measured pathologically slow on
+    v5e, benchmarks/slab_probe.py) — results must be identical to the
+    plain stacked path since GroupNorm/conv are per-sample."""
+    from vae_tagger_tpu.ops import backend as kernel_backend
+
+    vae, decoder, vae_params, dec_vars = _models()
+    cfg = LossConfig(use_focal_loss=True)
+    tx = build_optimizer(optax.constant_schedule(1e-4), 0.0, 0.0, 1)
+    batch = _batch(b=1)  # 3 rows; pad gate blocks 3->8, bs1 branch engages
+
+    def run():
+        params = {"vae": _fresh(vae_params),
+                  "decoder": _fresh(dec_vars["params"])}
+        state = TrainState.create(
+            params, tx, batch_stats=_fresh(dec_vars.get("batch_stats")))
+        train_step, _ = make_full_steps(vae, decoder, cfg,
+                                        use_simplified=True,
+                                        checkpoint_encode=False)
+        state, metrics = train_step(state, batch, jax.random.key(0))
+        return float(metrics["loss"]), jax.device_get(state.params)
+
+    loss_stacked, params_stacked = run()
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    with kernel_backend.backend("xla"):
+        loss_member, params_member = run()
+    np.testing.assert_allclose(loss_stacked, loss_member, rtol=1e-5)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=1e-3, atol=2e-4),
+        params_stacked, params_member)
+
+
 def test_stacked_checkpoint_encode_respects_px_limit(monkeypatch):
     """Above _STACK_PX_LIMIT the checkpointed encode must fall back to
     per-member encodes (the memory bound that keeps 1024px bs1 in HBM) and

@@ -50,6 +50,11 @@ from ..ops.image import normalize_uint8
 # limit admits up to ~11.5 GB peaks with ~4 GB headroom on a 16 GB v5e.
 _STACK_PX_LIMIT = 7_200_000
 
+# bs1 non-checkpoint triplet encodes run per-member on TPU (the 3-row
+# stacked encode measured ~2.1x slower per image; see _triplet_posterior).
+# Module flag so benchmarks/bs1_step_ab.py can A/B the branch in-context.
+_BS1_PER_MEMBER = True
+
 
 def _triplet_posterior(vae: AutoencoderKL, vae_params, batch, compute_dtype,
                        checkpoint_encode: bool) -> DiagonalGaussian:
@@ -71,6 +76,21 @@ def _triplet_posterior(vae: AutoencoderKL, vae_params, batch, compute_dtype,
     padded stack instead: one full-row encode, same O(one encode) backward
     state."""
     if not checkpoint_encode:
+        if (_BS1_PER_MEMBER and batch["anchor"].shape[0] == 1
+                and jax.default_backend() == "tpu"):
+            # bs1: the 3-row stacked encode is pathological on v5e (slab
+            # probe: 89.9 ms/image at 1024px vs 42.2 for N=1; 23.4 vs 10.9
+            # at 512px) and the sublane pad gate below rightly blocks 3->8
+            # padding (2.67x compute) — three sequential N=1 encodes win.
+            def enc1(px):
+                x = normalize_uint8(px, compute_dtype)
+                return vae.apply({"params": vae_params}, x,
+                                 method=AutoencoderKL.encode)
+            parts = [enc1(batch[k])
+                     for k in ("anchor", "positive", "negative")]
+            return DiagonalGaussian(
+                mean=jnp.concatenate([p.mean for p in parts], axis=0),
+                logvar=jnp.concatenate([p.logvar for p in parts], axis=0))
         images = jnp.concatenate([batch["anchor"], batch["positive"],
                                   batch["negative"]], axis=0)
         rows = images.shape[0]
