@@ -1,0 +1,170 @@
+#!/usr/bin/env python
+"""Profiler-trace dissection of the 1024px bs1 remat train step.
+
+bs1_backward_probe.py leaves 131.5 ms/step unaccounted (sum of parts
+735 ms vs 866.7 measured).  This captures a jax.profiler trace of a few
+steady-state steps and sums device-op durations from the perfetto JSON,
+grouping by op kind (fusion/conv/copy/etc.), to pin where the residual
+goes — and whether the backward's 0.37-vs-0.62 MFU gap is conv time or
+materialization (copy/transpose) time.
+
+If device-side tracing is unsupported through the relay, this prints
+what it got and exits nonzero — a null result worth recording too.
+
+Run on the real TPU (plain python), never concurrently with pytest.
+"""
+
+from __future__ import annotations
+
+import glob
+import gzip
+import json
+import os
+import sys
+import tempfile
+from collections import defaultdict
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+H = W = 1024
+RNG = np.random.default_rng(0)
+
+
+def build_step():
+    from vae_tagger_tpu.core.config import default_flux_vae_config
+    from vae_tagger_tpu.core.precision import BF16
+    from vae_tagger_tpu.infer.engine import build_decoder
+    from vae_tagger_tpu.losses.combined import LossConfig
+    from vae_tagger_tpu.models.autoencoder_kl import AutoencoderKL
+    from vae_tagger_tpu.train.state import TrainState, build_optimizer
+    from vae_tagger_tpu.train.steps import make_full_steps
+
+    cfg = default_flux_vae_config()
+    vae = AutoencoderKL(cfg, dtype=jnp.bfloat16, remat=True)
+    decoder = build_decoder(1000, use_attention=True, latent_channels=16,
+                            policy=BF16)
+    vp = jax.jit(vae.init)({"params": jax.random.key(0)},
+                           jnp.zeros((1, 256, 256, 3)),
+                           jax.random.key(1))["params"]
+    dv = jax.jit(decoder.init, static_argnames=("deterministic",))(
+        {"params": jax.random.key(2)}, jnp.zeros((1, 32, 32, 16)),
+        deterministic=True)
+    tx = build_optimizer(optax.constant_schedule(1e-3), 1e-6, 1.0, 1)
+    full_step, _ = make_full_steps(
+        vae, decoder, LossConfig(use_focal_loss=True), use_simplified=True,
+        compute_dtype=jnp.bfloat16, checkpoint_encode=True)
+    d = jax.tree.map(jnp.array, dv)
+    state = TrainState.create(
+        {"vae": jax.tree.map(jnp.array, vp), "decoder": d["params"]},
+        tx, batch_stats=d.get("batch_stats"))
+
+    def mk():
+        fb = {k: jnp.asarray(RNG.integers(0, 256, (1, H, W, 3),
+                                          dtype=np.uint8))
+              for k in ("anchor", "positive", "negative")}
+        fb["labels"] = jnp.asarray(
+            (RNG.random((1, 1000)) > 0.95).astype(np.float32))
+        fb["positive_labels"] = fb["labels"]
+        return fb
+
+    return full_step, state, [mk(), mk()]
+
+
+def classify(name: str) -> str:
+    n = name.lower()
+    for key in ("convolution", "conv"):
+        if key in n:
+            return "conv"
+    if "fusion" in n:
+        return "fusion"
+    for key in ("copy", "transpose", "bitcast"):
+        if key in n:
+            return "copy/transpose"
+    if "dot" in n:
+        return "dot"
+    if "custom" in n or "pallas" in n:
+        return "custom/pallas"
+    if "all-reduce" in n or "reduce" in n:
+        return "reduce"
+    return "other"
+
+
+def main():
+    step, state, batches = build_step()
+    keys = list(jax.random.split(jax.random.key(0), 4))
+    comp = step.lower(state, batches[0], keys[0]).compile()
+    state, m = comp(state, batches[0], keys[0])
+    jax.device_get(m["loss"])
+
+    tmp = tempfile.mkdtemp(prefix="bs1trace")
+    jax.profiler.start_trace(tmp)
+    nsteps = 3
+    for i in range(nsteps):
+        state, m = comp(state, batches[i % 2], keys[i])
+    jax.device_get(m["loss"])
+    jax.profiler.stop_trace()
+
+    traces = glob.glob(os.path.join(tmp, "**", "*.trace.json.gz"),
+                       recursive=True)
+    print("trace files:", traces, flush=True)
+    if not traces:
+        everything = glob.glob(os.path.join(tmp, "**", "*"), recursive=True)
+        print("no perfetto trace found; dir contents:", everything)
+        sys.exit(1)
+
+    by_kind = defaultdict(float)
+    by_name = defaultdict(float)
+    total = 0.0
+    with gzip.open(traces[0], "rt") as f:
+        data = json.load(f)
+    events = data.get("traceEvents", [])
+    # device-lane complete events carry op names + dur (us)
+    pids = {e.get("pid"): e.get("args", {}).get("name", "")
+            for e in events if e.get("ph") == "M"
+            and e.get("name") == "process_name"}
+    dev_pids = {p for p, n in pids.items()
+                if "tpu" in n.lower() or "xla" in n.lower()
+                or "device" in n.lower()}
+    print("processes:", pids, flush=True)
+    for e in events:
+        if e.get("ph") != "X":
+            continue
+        if dev_pids and e.get("pid") not in dev_pids:
+            continue
+        dur = e.get("dur", 0) / 1e3 / nsteps  # ms per step
+        name = e.get("name", "")
+        total += dur
+        by_kind[classify(name)] += dur
+        by_name[name] += dur
+    by_copy = defaultdict(float)
+    args_sample = {}
+    for e in events:
+        if e.get("ph") != "X":
+            continue
+        if dev_pids and e.get("pid") not in dev_pids:
+            continue
+        name = e.get("name", "")
+        if classify(name) == "copy/transpose":
+            by_copy[name] += e.get("dur", 0) / 1e3 / nsteps
+            if name not in args_sample:
+                args_sample[name] = e.get("args", {})
+    print(json.dumps({
+        "total_ms_per_step": round(total, 1),
+        "by_kind_ms": {k: round(v, 1) for k, v in sorted(
+            by_kind.items(), key=lambda kv: -kv[1])},
+        "top20_ops_ms": {k: round(v, 1) for k, v in sorted(
+            by_name.items(), key=lambda kv: -kv[1])[:20]},
+        "top15_copy_ms": {k: round(v, 1) for k, v in sorted(
+            by_copy.items(), key=lambda kv: -kv[1])[:15]},
+        "copy_args_sample": {k: args_sample[k] for k in list(sorted(
+            by_copy, key=lambda kv: -by_copy[kv]))[:5]},
+    }, indent=1))
+
+
+if __name__ == "__main__":
+    main()
