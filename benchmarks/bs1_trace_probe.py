@@ -77,9 +77,11 @@ def build_step():
 
 def classify(name: str) -> str:
     n = name.lower()
-    for key in ("convolution", "conv"):
-        if key in n:
-            return "conv"
+    # order matters: "convert..." must not classify as conv
+    if "convert_reduce_fusion" in n:
+        return "conv+gn-stats fusion"
+    if "convolution" in n or ("conv" in n and "convert" not in n):
+        return "conv"
     if "fusion" in n:
         return "fusion"
     for key in ("copy", "transpose", "bitcast"):
@@ -94,20 +96,49 @@ def classify(name: str) -> str:
     return "other"
 
 
-def main():
+def run_train_bs1(tmp, nsteps):
     step, state, batches = build_step()
     keys = list(jax.random.split(jax.random.key(0), 4))
     comp = step.lower(state, batches[0], keys[0]).compile()
     state, m = comp(state, batches[0], keys[0])
     jax.device_get(m["loss"])
 
-    tmp = tempfile.mkdtemp(prefix="bs1trace")
     jax.profiler.start_trace(tmp)
-    nsteps = 3
     for i in range(nsteps):
         state, m = comp(state, batches[i % 2], keys[i])
     jax.device_get(m["loss"])
     jax.profiler.stop_trace()
+
+
+def run_infer(tmp, nsteps):
+    """The bench.py headline forward: batch-8 1024px encode+tag."""
+    from ablate import BATCH, RESOLUTION, build_forward
+
+    forward, vp, dv = build_forward()
+    fwd = jax.jit(forward)
+    px = [jax.jit(lambda k: jax.random.randint(
+        k, (BATCH, RESOLUTION, RESOLUTION, 3), 0, 256, jnp.uint8))(
+            jax.random.key(i)) for i in range(2)]
+    jax.device_get(fwd(vp, dv, px[0]))
+
+    jax.profiler.start_trace(tmp)
+    out = None
+    for i in range(nsteps):
+        out = fwd(vp, dv, px[i % 2])
+    jax.device_get(out)
+    jax.profiler.stop_trace()
+
+
+def main():
+    import argparse
+    p = argparse.ArgumentParser()
+    p.add_argument("--target", choices=("train_bs1", "infer"),
+                   default="train_bs1")
+    args = p.parse_args()
+
+    tmp = tempfile.mkdtemp(prefix="bs1trace")
+    nsteps = 3
+    {"train_bs1": run_train_bs1, "infer": run_infer}[args.target](tmp, nsteps)
 
     traces = glob.glob(os.path.join(tmp, "**", "*.trace.json.gz"),
                        recursive=True)
