@@ -36,6 +36,58 @@ def measure_rtt(reps: int = 10) -> float:
     return (time.perf_counter() - t0) / reps
 
 
+def build_full_train_setup(remat: bool = True):
+    """Full-size FLUX VAE (+remat) + 1000-class attention tagger + AdamW:
+    the shared fixture for every train-step benchmark (probe_512_full,
+    train_full_mix, bs1_*).  Returns (vae, decoder, vae_params,
+    decoder_variables, tx) — one definition so the model/optimizer shape
+    behind every published train number cannot drift between scripts."""
+    import optax
+
+    from vae_tagger_tpu.core.config import default_flux_vae_config
+    from vae_tagger_tpu.core.precision import BF16
+    from vae_tagger_tpu.infer.engine import build_decoder
+    from vae_tagger_tpu.models.autoencoder_kl import AutoencoderKL
+    from vae_tagger_tpu.train.state import build_optimizer
+
+    cfg = default_flux_vae_config()
+    vae = AutoencoderKL(cfg, dtype=jnp.bfloat16, remat=remat)
+    decoder = build_decoder(1000, use_attention=True, latent_channels=16,
+                            policy=BF16)
+    vp = jax.jit(vae.init)({"params": jax.random.key(0)},
+                           jnp.zeros((1, 256, 256, 3)),
+                           jax.random.key(1))["params"]
+    dv = jax.jit(decoder.init, static_argnames=("deterministic",))(
+        {"params": jax.random.key(2)}, jnp.zeros((1, 32, 32, 16)),
+        deterministic=True)
+    tx = build_optimizer(optax.constant_schedule(1e-3), 1e-6, 1.0, 1)
+    return vae, decoder, vp, dv, tx
+
+
+def make_triplet_batch(rng, b: int, h: int, w: int, num_classes: int = 1000):
+    """One random uint8 triplet batch with ~5%-positive labels (the label
+    sparsity every published train number was measured at)."""
+    import numpy as np
+
+    fb = {k: jnp.asarray(rng.integers(0, 256, (b, h, w, 3), dtype=np.uint8))
+          for k in ("anchor", "positive", "negative")}
+    fb["labels"] = jnp.asarray(
+        (rng.random((b, num_classes)) > 0.95).astype(np.float32))
+    fb["positive_labels"] = fb["labels"]
+    return fb
+
+
+def fresh_full_state(vp, dv, tx):
+    """A fresh (deep-copied) TrainState for {'vae','decoder'} params —
+    steps donate their state, so each timed config needs its own copy."""
+    from vae_tagger_tpu.train.state import TrainState
+
+    fresh = jax.tree.map(jnp.array, dv)
+    return TrainState.create(
+        {"vae": jax.tree.map(jnp.array, vp), "decoder": fresh["params"]},
+        tx, batch_stats=fresh.get("batch_stats"))
+
+
 def build_full_engine():
     """Full-size FLUX VAE + 1000-class attention tagger in a TaggerEngine."""
     from vae_tagger_tpu.core.config import default_flux_vae_config

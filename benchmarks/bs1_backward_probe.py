@@ -28,9 +28,13 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import jax
 import jax.numpy as jnp
 import numpy as np
-import optax
 
-from bench_common import measure_rtt
+from bench_common import (
+    build_full_train_setup,
+    fresh_full_state,
+    make_triplet_batch,
+    measure_rtt,
+)
 
 RNG = np.random.default_rng(0)
 H = W = 1024
@@ -47,51 +51,27 @@ def timed_calls(fn, args_list, rtt, reps=3):
 
 
 def main():
-    from vae_tagger_tpu.core.config import default_flux_vae_config
-    from vae_tagger_tpu.core.precision import BF16
-    from vae_tagger_tpu.infer.engine import build_decoder
+    import optax
+
     from vae_tagger_tpu.losses.combined import LossConfig
     from vae_tagger_tpu.models.autoencoder_kl import AutoencoderKL
     from vae_tagger_tpu.ops.image import normalize_uint8
-    from vae_tagger_tpu.train.state import TrainState, build_optimizer
     from vae_tagger_tpu.train.steps import make_full_steps
 
     rtt = measure_rtt()
     print(f"rtt {rtt * 1e3:.1f} ms", flush=True)
     res = {"rtt_ms": round(rtt * 1e3, 1)}
 
-    cfg = default_flux_vae_config()
-    vae = AutoencoderKL(cfg, dtype=jnp.bfloat16, remat=True)
-    decoder = build_decoder(1000, use_attention=True, latent_channels=16,
-                            policy=BF16)
-    vp = jax.jit(vae.init)({"params": jax.random.key(0)},
-                           jnp.zeros((1, 256, 256, 3)),
-                           jax.random.key(1))["params"]
-    dv = jax.jit(decoder.init, static_argnames=("deterministic",))(
-        {"params": jax.random.key(2)}, jnp.zeros((1, 32, 32, 16)),
-        deterministic=True)
-    tx = build_optimizer(optax.constant_schedule(1e-3), 1e-6, 1.0, 1)
+    vae, decoder, vp, dv, tx = build_full_train_setup(remat=True)
     full_step, eval_step = make_full_steps(
         vae, decoder, LossConfig(use_focal_loss=True), use_simplified=True,
         compute_dtype=jnp.bfloat16, checkpoint_encode=True)
 
-    def mk():
-        fb = {k: jnp.asarray(RNG.integers(0, 256, (1, H, W, 3),
-                                          dtype=np.uint8))
-              for k in ("anchor", "positive", "negative")}
-        fb["labels"] = jnp.asarray(
-            (RNG.random((1, 1000)) > 0.95).astype(np.float32))
-        fb["positive_labels"] = fb["labels"]
-        return fb
-
-    batches = [mk(), mk()]
+    batches = [make_triplet_batch(RNG, 1, H, W) for _ in range(2)]
     keys = list(jax.random.split(jax.random.key(0), 4))
 
     def fresh_state():
-        d = jax.tree.map(jnp.array, dv)
-        return TrainState.create(
-            {"vae": jax.tree.map(jnp.array, vp), "decoder": d["params"]},
-            tx, batch_stats=d.get("batch_stats"))
+        return fresh_full_state(vp, dv, tx)
 
     # B: grad of one checkpointed member encode
     @jax.jit

@@ -182,6 +182,25 @@ def test_png_alpha_is_dropped_not_composited():
 
 
 @png_needed
+def test_png_16bit_rejected_to_pil_fallback():
+    """16-bit PNGs must NOT decode natively: libpng's 8-bit conversion is
+    a linear->sRGB gamma encode while PIL does a plain bit-depth
+    reduction — the native path rejects (None) so pixels stay identical
+    on hosts with and without the library."""
+    import io
+
+    deep = (np.linspace(0, 65535, 80 * 100, dtype=np.uint32)
+            .reshape(80, 100).astype(np.uint16))
+    buf = io.BytesIO()
+    Image.fromarray(deep.astype(np.int32), "I").convert("I;16").save(
+        buf, "PNG")
+    data = buf.getvalue()
+    assert native.sniff_format(data) == "png"
+    assert native.decode_png_resize(data, 64, 48) is None
+    assert native.decode_image_resize(data, 64, 48) is None  # -> PIL path
+
+
+@png_needed
 def test_png_palette_and_gray_expand():
     import io
 

@@ -174,10 +174,13 @@ class _StallingEngine:
     """engine.classify blocks until released — drives queue-full tests."""
 
     def __init__(self, num_tags=4):
+        threading = __import__("threading")
         self.tag_names = [f"t{i}" for i in range(num_tags)]
-        self.release = __import__("threading").Event()
+        self.release = threading.Event()
+        self.entered = threading.Event()  # worker took the first batch
 
     def classify(self, pixels):
+        self.entered.set()
         self.release.wait(timeout=60)
         return np.zeros((pixels.shape[0], len(self.tag_names)), np.float32)
 
@@ -191,10 +194,15 @@ def test_worker_backpressure_queue_full():
     try:
         px = np.zeros((8, 8, 3), np.uint8)
         with concurrent.futures.ThreadPoolExecutor(4) as ex:
-            # one request occupies the worker; two fill the queue
-            futs = [ex.submit(worker.submit, px) for _ in range(3)]
             import time
 
+            # one request occupies the worker — wait until it is TAKEN
+            # off the queue (otherwise the next two could fill the queue
+            # first and the third submit would itself see queue-full)
+            futs = [ex.submit(worker.submit, px)]
+            assert stalled.entered.wait(timeout=30)
+            # now two more fill the max_queue=2 queue
+            futs += [ex.submit(worker.submit, px) for _ in range(2)]
             time.sleep(0.3)  # let them enqueue
             with pytest.raises(QueueFullError):
                 worker.submit(px)

@@ -263,9 +263,14 @@ def decode_jpeg_resize(data: bytes, target_width: int, target_height: int,
 def decode_png_resize(data: bytes, target_width: int, target_height: int,
                       crop_mode: str = "center",
                       crop_offset: tuple[int, int] = (0, 0),
-                      resample: str = "lanczos") -> np.ndarray:
+                      resample: str = "lanczos") -> Optional[np.ndarray]:
     """PNG decode + crop + resize in one native call (alpha dropped,
-    PIL ``convert("RGB")`` semantics)."""
+    PIL ``convert("RGB")`` semantics).
+
+    Returns None for 16-bit PNGs: libpng's 8-bit conversion is a
+    linear->sRGB gamma encode, not PIL's plain bit-depth reduction, so
+    those decode via the PIL fallback to keep pixels decoder-invariant.
+    """
     return _decode_resize("png", data, target_width, target_height,
                           crop_mode, crop_offset, 0, False, resample)
 

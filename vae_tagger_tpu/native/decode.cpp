@@ -209,6 +209,16 @@ int vt_png_decode_resize(const uint8_t* data, size_t len,
   std::memset(&im, 0, sizeof(im));
   im.version = PNG_IMAGE_VERSION;
   if (!png_image_begin_read_from_memory(&im, data, len)) return -2;
+  if ((im.format & PNG_FORMAT_FLAG_LINEAR) != 0) {
+    // 16-bit PNG: requesting 8-bit sRGB here would apply libpng's
+    // linear->sRGB gamma encoding, while the PIL path (convert("RGB"))
+    // does a plain bit-depth reduction — the pixels would differ by a
+    // ~2.2 gamma curve depending on which decoder ran.  Reject (rc=1)
+    // so the caller falls back to PIL, keeping inputs identical on
+    // hosts with and without the native library.
+    png_image_free(&im);
+    return 1;
+  }
   const bool has_alpha = (im.format & PNG_FORMAT_FLAG_ALPHA) != 0;
   im.format = has_alpha ? PNG_FORMAT_RGBA : PNG_FORMAT_RGB;
   const int sw = static_cast<int>(im.width);

@@ -108,7 +108,8 @@ class BatchingWorker:
             self._queues.setdefault(shape, deque()).append(item)
             self._size += 1
             self._cond.notify()
-        if not item.event.wait(timeout or self.request_timeout_s):
+        wait_s = self.request_timeout_s if timeout is None else timeout
+        if not item.event.wait(wait_s):
             # withdraw from the queue so an abandoned request neither holds
             # max_queue capacity nor burns a device batch nobody will read
             with self._cond:
