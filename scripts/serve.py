@@ -12,6 +12,12 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+from vae_tagger_tpu.core.runtime import (  # noqa: E402
+    enable_persistent_compile_cache,
+)
+
+enable_persistent_compile_cache()
+
 
 def main():
     p = argparse.ArgumentParser(description="vae-tagger HTTP server")

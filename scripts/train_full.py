@@ -9,6 +9,12 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+from vae_tagger_tpu.core.runtime import (  # noqa: E402
+    enable_persistent_compile_cache,
+)
+
+enable_persistent_compile_cache()
+
 from vae_tagger_tpu.core.cli import (  # noqa: E402
     add_attention_args,
     add_bucketing_args,
