@@ -93,3 +93,35 @@ def test_weighted_labels_truncated_like_reference():
     # with truncation only row 1 is positive; prob 0.9 -> best f1 at some
     # threshold classifying rows 0,1 positive gives precision 0.5
     assert res["per_class_thresholds"]["t"]["f1_score"] <= 1.0
+
+
+def test_vectorized_threshold_sweep_matches_sklearn_loop():
+    """find_optimal_threshold's vectorized F1 table must reproduce the
+    reference's literal per-(class, threshold) sklearn sweep exactly —
+    including first-strict-max tie-breaking (probs rounded to one decimal
+    make equal-F1 runs across thresholds common) and positive-free
+    classes keeping (0.5, 0.0)."""
+    from vae_tagger_tpu.eval.threshold import _find_optimal_threshold_sklearn
+
+    rng = np.random.default_rng(7)
+    n, c = 48, 23
+    y_prob = np.round(rng.random((n, c)), 1).astype(np.float32)
+    y_true = (rng.random((n, c)) < 0.3).astype(np.float32)
+    y_true[:, 5] = 0.0  # positive-free class
+    names = [f"t{i}" for i in range(c)]
+    loader = [{"labels": y_true, "probs": y_prob}]
+
+    res = find_optimal_threshold(lambda b: b["probs"], loader, names)
+    oracle = _find_optimal_threshold_sklearn(
+        y_prob, y_true.astype(int), names, np.arange(0.1, 0.9, 0.05), None)
+
+    assert res["global_threshold"] == oracle["global_threshold"]
+    np.testing.assert_allclose(res["global_f1"], oracle["global_f1"],
+                               rtol=1e-12)
+    for name in names:
+        a, b = (res["per_class_thresholds"][name],
+                oracle["per_class_thresholds"][name])
+        assert a["threshold"] == b["threshold"], name
+        np.testing.assert_allclose(a["f1_score"], b["f1_score"], rtol=1e-12)
+    assert res["per_class_thresholds"]["t5"] == {"threshold": 0.5,
+                                                 "f1_score": 0.0}

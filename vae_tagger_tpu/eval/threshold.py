@@ -72,38 +72,106 @@ def evaluate_model(predict_fn: Callable, loader, class_names: List[str],
     return metrics
 
 
+def _f1_table(y_true_int: np.ndarray, y_prob: np.ndarray,
+              thresholds: np.ndarray) -> np.ndarray:
+    """(T, C) table of binary F1 per (threshold, class).
+
+    Exact sklearn ``f1_score(pos_label=1, zero_division=0)`` semantics:
+    f1 = 2·tp / (2·tp + fp + fn), where the denominator equals
+    |predicted positive| + |actual positive|.  Vectorized over classes —
+    the reference sweeps with one sklearn call per (class, threshold)
+    (evaluation.py:224-242), ~17·C calls that take minutes at realistic
+    tag-vocabulary sizes on a single-core host."""
+    pos = y_true_int == 1
+    npos = np.count_nonzero(pos, axis=0)
+    table = np.empty((len(thresholds), y_prob.shape[1]), dtype=np.float64)
+    for t, thr in enumerate(thresholds):
+        pred = y_prob > thr
+        tp = np.count_nonzero(pred & pos, axis=0)
+        denom = np.count_nonzero(pred, axis=0) + npos
+        table[t] = np.where(denom > 0, 2.0 * tp / np.maximum(denom, 1), 0.0)
+    return table
+
+
+def _best_by_first_strict_max(f1s: np.ndarray, thresholds: np.ndarray):
+    """Reference tie-break: ascending sweep, update only on strictly
+    greater F1, starting from (0.5, 0.0) — i.e. the FIRST argmax wins and
+    an all-zero row keeps threshold 0.5."""
+    best = float(f1s.max()) if len(f1s) else 0.0
+    if best <= 0.0:
+        return 0.5, 0.0
+    return float(thresholds[int(np.argmax(f1s))]), best
+
+
 def find_optimal_threshold(predict_fn: Callable, loader,
                            class_names: List[str],
                            output_dir: Optional[str] = None,
                            collected: Optional[tuple] = None) -> Dict:
     """Sweep thresholds 0.1..0.9 step 0.05: per-class best-F1 threshold and
     a global best-macro-F1 threshold; writes ``optimal_thresholds.json``."""
-    from sklearn.metrics import f1_score
-
     y_prob, y_true = (collected if collected is not None
                       else _collect(predict_fn, loader))
     thresholds = np.arange(0.1, 0.9, 0.05)
+    y_true_int = y_true.astype(int)
+
+    if ((y_true_int != 0) & (y_true_int != 1)).any():
+        # labels outside {0,1} after the reference's int cast (weights >= 2):
+        # sklearn's behavior there is mode-inference territory — defer to it
+        # exactly rather than guessing
+        return _find_optimal_threshold_sklearn(
+            y_prob, y_true_int, class_names, thresholds, output_dir)
+
+    table = _f1_table(y_true_int, y_prob, thresholds)  # (T, C)
+    has_pos = y_true_int.sum(axis=0) > 0
+
+    optimal: Dict[str, Dict] = {}
+    for i, name in enumerate(class_names):
+        if has_pos[i]:
+            best_thr, best_f1 = _best_by_first_strict_max(
+                table[:, i], thresholds)
+        else:  # reference skips the sweep entirely for positive-free classes
+            best_thr, best_f1 = 0.5, 0.0
+        optimal[name] = {"threshold": best_thr, "f1_score": best_f1}
+
+    # sklearn macro-F1 averages over ALL classes (positive-free ones
+    # contribute 0 under zero_division=0), matching table.mean
+    best_global_thr, best_global_f1 = _best_by_first_strict_max(
+        table.mean(axis=1), thresholds)
+
+    return _emit_threshold_results(optimal, best_global_thr, best_global_f1,
+                                   output_dir)
+
+
+def _find_optimal_threshold_sklearn(y_prob, y_true_int, class_names,
+                                    thresholds, output_dir) -> Dict:
+    """The reference's literal per-(class, threshold) sklearn sweep
+    (evaluation.py:224-253); kept for label values sklearn must interpret."""
+    from sklearn.metrics import f1_score
 
     optimal: Dict[str, Dict] = {}
     for i, name in enumerate(class_names):
         best_f1, best_thr = 0.0, 0.5
-        y_true_int = y_true[:, i].astype(int)
-        if y_true_int.sum() > 0:
+        if y_true_int[:, i].sum() > 0:
             for thr in thresholds:
                 y_pred = (y_prob[:, i] > thr).astype(int)
-                f1 = f1_score(y_true_int, y_pred, zero_division=0)
+                f1 = f1_score(y_true_int[:, i], y_pred, zero_division=0)
                 if f1 > best_f1:
                     best_f1, best_thr = float(f1), float(thr)
         optimal[name] = {"threshold": best_thr, "f1_score": best_f1}
 
     best_global_f1, best_global_thr = 0.0, 0.5
-    y_true_int = y_true.astype(int)
     for thr in thresholds:
         y_pred = (y_prob > thr).astype(int)
         f1 = f1_score(y_true_int, y_pred, average="macro", zero_division=0)
         if f1 > best_global_f1:
             best_global_f1, best_global_thr = float(f1), float(thr)
+    return _emit_threshold_results(optimal, best_global_thr, best_global_f1,
+                                   output_dir)
 
+
+def _emit_threshold_results(optimal: Dict, best_global_thr: float,
+                            best_global_f1: float,
+                            output_dir: Optional[str]) -> Dict:
     results = {
         "global_threshold": best_global_thr,
         "global_f1": best_global_f1,
