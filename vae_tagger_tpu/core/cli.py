@@ -89,6 +89,10 @@ def add_train_args(p: argparse.ArgumentParser, default_lr: float = 1e-4):
                    help="gradient checkpointing on the VAE blocks (TPU "
                    "extension): O(stage) activation memory for ~30%% extra "
                    "forward FLOPs — enables 1024px training at larger batch")
+    p.add_argument("--sync_checkpoints", action="store_true",
+                   help="write checkpoints synchronously (TPU extension: "
+                   "single-process runs overlap the orbax/safetensors/bin "
+                   "writes with the next epoch by default)")
 
 
 def add_loss_args(p: argparse.ArgumentParser):

@@ -78,6 +78,37 @@ def build_dataset_and_loaders(args, return_triplets: bool):
     return dataset, train_loader, val_loader
 
 
+class _CheckpointWriter:
+    """At most one background checkpoint write in flight.
+
+    Measured through this host's relay, a best-epoch save of the full
+    train_full state blocked the loop ~32 s: orbax's own device→host
+    transfer (21.8 s — slower than a plain ``jax.device_get`` of the same
+    pytree) plus the exporters re-fetching the state they had already
+    fetched.  The split that removes it: the caller fetches the state ONCE
+    (synchronously, so no device buffers outlive the epoch boundary — at
+    1024px the next epoch's steps run within ~2 GB of HBM capacity), and
+    the pure-host orbax/safetensors/bin writes run here, overlapped with
+    the next epoch's training.  Writes are serialized FIFO; a failed write
+    re-raises on the next submit() or wait()."""
+
+    def __init__(self):
+        from concurrent.futures import ThreadPoolExecutor
+
+        self._pool = ThreadPoolExecutor(max_workers=1,
+                                        thread_name_prefix="ckpt-writer")
+        self._pending = None
+
+    def submit(self, fn, *fn_args):
+        self.wait()
+        self._pending = self._pool.submit(fn, *fn_args)
+
+    def wait(self):
+        if self._pending is not None:
+            pending, self._pending = self._pending, None
+            pending.result()
+
+
 class EpochLoop:
     """Runs epochs; tracks history; invokes checkpoint callbacks."""
 
@@ -100,6 +131,13 @@ class EpochLoop:
                                          1) or 1)
         self.history = {"train_loss": [], "val_loss": [], "learning_rates": []}
         self.best_val_loss = float("inf")
+        # Multi-process saves are COLLECTIVE (orbax over sharded arrays) and
+        # must stay synchronous on every process; single-process saves go
+        # through one host fetch + a background writer unless disabled.
+        self._ckpt_writer = (_CheckpointWriter()
+                             if jax.process_count() == 1
+                             and not getattr(args, "sync_checkpoints", False)
+                             else None)
 
     def _prefetched(self, loader):
         """Yield (device_batch, n_real) one batch ahead of the consumer, so
@@ -208,15 +246,28 @@ class EpochLoop:
                 self.best_val_loss = avg_val
                 if is_main_process():
                     print(f"New best validation loss: {avg_val:.4f}")
-                self.on_best(state, epoch)
+                self._checkpoint(self.on_best, state, epoch)
             if (self.on_periodic is not None
                     and (epoch + 1) % args.save_steps == 0):
-                self.on_periodic(state, epoch)
+                self._checkpoint(self.on_periodic, state, epoch)
         if profiling:  # run ended before profile_steps completed
             jax.profiler.stop_trace()
             print(f"profiler trace written to {args.output_dir}/profile "
                   f"(run shorter than --profile_steps)")
+        if self._ckpt_writer is not None:  # callers read the artifacts next
+            self._ckpt_writer.wait()
         return state
+
+    def _checkpoint(self, callback, state, epoch):
+        if self._ckpt_writer is None:
+            callback(state, epoch)
+            return
+        # ONE synchronous fetch serves orbax and every exporter: the
+        # callbacks' own device_gets are no-ops on numpy leaves, and orbax
+        # serializes host arrays directly (measured 8.5 s vs 21.8 s letting
+        # it transfer from device itself).  The host-side writes then
+        # overlap the next epoch's training.
+        self._ckpt_writer.submit(callback, jax.device_get(state), epoch)
 
     def _drain(self, item, train_losses, epoch, lr_schedule):
         step, item_global_step, metrics, n_real = item
