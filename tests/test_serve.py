@@ -184,6 +184,11 @@ class _StallingEngine:
         self.release.wait(timeout=60)
         return np.zeros((pixels.shape[0], len(self.tag_names)), np.float32)
 
+    def classify_async(self, pixels):
+        # the pipelined worker dispatches through classify_async; stalling
+        # the dispatch keeps these tests' "worker is wedged" semantics
+        return self.classify(pixels), pixels.shape[0]
+
 
 def test_worker_backpressure_queue_full():
     from vae_tagger_tpu.serve import QueueFullError
@@ -309,3 +314,68 @@ def test_worker_stop_fails_pending_fast():
         assert time.monotonic() - t0 < 10
         stalled.release.set()  # unwedge; request 1 completes normally
         assert futs[0].result(timeout=60).shape == (4,)
+
+
+class _PipelineProbeEngine:
+    """Instant dispatch, fetch blocked until released — proves the worker
+    keeps one batch in flight (dispatches batch N+1 before fetching N)."""
+
+    tag_names = ["a", "b"]
+
+    def __init__(self):
+        import threading
+
+        self.dispatches = 0
+        self.second_queued = threading.Event()  # test: req2 is in the queue
+        self.fetch_release = threading.Event()
+        engine = self
+
+        class _LazyProbs:
+            def __init__(self, n):
+                self.n = n
+
+            def __array__(self, dtype=None, copy=None):
+                engine.fetch_release.wait(timeout=60)
+                return np.zeros((self.n, 2), np.float32)
+
+        self._lazy = _LazyProbs
+
+    def classify_async(self, pixels):
+        self.dispatches += 1
+        if self.dispatches == 1:
+            # hold the first dispatch until the second request is queued so
+            # the take-after-dispatch deterministically finds it
+            self.second_queued.wait(timeout=60)
+        return self._lazy(pixels.shape[0]), pixels.shape[0]
+
+
+def test_worker_keeps_one_batch_in_flight():
+    import concurrent.futures
+    import time
+
+    eng = _PipelineProbeEngine()
+    worker = BatchingWorker(eng, max_batch=1, batch_timeout_ms=0,
+                            request_timeout_s=30)
+    px = np.zeros((8, 8, 3), np.uint8)
+    try:
+        with concurrent.futures.ThreadPoolExecutor(2) as ex:
+            f1 = ex.submit(worker.submit, px)
+            deadline = time.monotonic() + 5
+            while eng.dispatches < 1 and time.monotonic() < deadline:
+                time.sleep(0.01)
+            assert eng.dispatches == 1
+            f2 = ex.submit(worker.submit, px)
+            time.sleep(0.1)  # let req2 reach the queue
+            eng.second_queued.set()
+            # batch 2 must be DISPATCHED while batch 1's fetch is blocked
+            deadline = time.monotonic() + 5
+            while eng.dispatches < 2 and time.monotonic() < deadline:
+                time.sleep(0.01)
+            assert eng.dispatches == 2
+            assert not f1.done() and not f2.done()
+            eng.fetch_release.set()
+            assert f1.result(timeout=10).shape == (2,)
+            assert f2.result(timeout=10).shape == (2,)
+    finally:
+        eng.fetch_release.set()
+        worker.stop()

@@ -143,15 +143,20 @@ class BatchingWorker:
             item.error = err
             item.event.set()
 
-    def _take_batch(self):
-        """Blocks for work, then drains up to max_batch SAME-SHAPE items.
+    def _take_batch(self, block: bool = True):
+        """Drains up to max_batch SAME-SHAPE items.
 
-        Returns a list of _Pending or None on stop.  The coalescing window
-        (timeout_s) only waits when the batch is not yet full."""
+        ``block=True`` waits for work (returns None on stop); ``block=False``
+        returns [] immediately when nothing is queued (the worker uses it
+        while a dispatched batch is still in flight on the device).  The
+        coalescing window (timeout_s) only waits when the batch is not yet
+        full."""
         with self._cond:
             while self._size == 0:
                 if self._stop:
                     return None
+                if not block:
+                    return []
                 self._cond.wait(timeout=0.5)
             # oldest head first (cross-shape FIFO): a minority resolution
             # cannot be starved by a sustained flood of the dominant one —
@@ -185,23 +190,47 @@ class BatchingWorker:
         return out
 
     def _run(self):
+        # One batch stays IN FLIGHT on the device while the next one is
+        # assembled and dispatched: jax dispatch is async, so batch N+1's
+        # host->device transfer overlaps batch N's compute instead of
+        # serializing transfer -> compute -> fetch per batch (measured
+        # 24.7 -> see docs/PERF.md under 16 concurrent clients).  With an
+        # empty queue the in-flight batch resolves immediately, so a lone
+        # request's latency is unchanged.
+        inflight = None  # (items, device_probs, real_count)
         while True:
-            batch = self._take_batch()
-            if batch is None:
+            batch = self._take_batch(block=inflight is None)
+            if batch is None:  # stopping: resolve what the device still owes
+                if inflight is not None:
+                    self._resolve(*inflight)
                 return
-            if not batch:
-                continue
-            try:
-                probs = self.engine.classify(
-                    np.stack([b.pixels for b in batch]))
-                for item, p in zip(batch, probs):
-                    item.probs = np.asarray(p)
-            except Exception as e:  # surface to every waiter in the batch
-                for item in batch:
-                    item.error = e
-            finally:
-                for item in batch:
-                    item.event.set()
+            dispatched = None
+            if batch:
+                try:
+                    probs, n = self.engine.classify_async(
+                        np.stack([b.pixels for b in batch]))
+                    dispatched = (batch, probs, n)
+                except Exception as e:  # dispatch failed: fail this batch
+                    for item in batch:
+                        item.error = e
+                        item.event.set()
+            if inflight is not None:
+                self._resolve(*inflight)
+            inflight = dispatched
+
+    @staticmethod
+    def _resolve(items, device_probs, real_count):
+        """Fetch a dispatched batch's probabilities and wake its waiters."""
+        try:
+            probs = np.asarray(device_probs)[:real_count]
+            for item, p in zip(items, probs):
+                item.probs = p
+        except Exception as e:  # compute errors surface at fetch time
+            for item in items:
+                item.error = e
+        finally:
+            for item in items:
+                item.event.set()
 
 
 def _make_handler(worker: BatchingWorker, engine: TaggerEngine,
