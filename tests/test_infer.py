@@ -119,3 +119,43 @@ def test_latents_json_and_flatten_order(artifacts, tmp_path):
     z = np.arange(2 * 3 * 4).reshape(2, 3, 4).transpose(1, 2, 0)  # (3,4,2) hwc
     flat = flatten_latent_torch_order(z)
     np.testing.assert_array_equal(flat, np.arange(24))
+
+
+def test_standalone_evaluate_checkpoint(artifacts, tmp_path):
+    """scripts/evaluate.py path: score exported artifacts on a labeled
+    dataset without a training run (the reference cannot do this)."""
+    import argparse
+
+    from vae_tagger_tpu.eval.standalone import evaluate_checkpoint
+
+    root, ds, vae_dir, bin_path = artifacts
+    args = argparse.Namespace(
+        vae_checkpoint=f"{vae_dir}/diffusion_pytorch_model.safetensors",
+        vae_config_path=f"{vae_dir}/config.json",
+        decoder_checkpoint=bin_path,
+        json_path=ds["data_json"],
+        tags_csv_path=ds["tags_csv"],
+        output_dir=str(tmp_path),
+        resolution=64,
+        batch_size=4,
+        num_workers=2,
+        prefetch_factor=2,
+        seed=42,
+        threshold=None,
+        use_val_split=False,
+        use_attention=True,
+    )
+    metrics = evaluate_checkpoint(args)
+    assert 0.0 <= metrics["f1_macro"] <= 1.0
+    assert 0.1 <= metrics["threshold"] <= 0.9  # searched
+    assert (tmp_path / "optimal_thresholds.json").exists()
+    assert (tmp_path / "evaluation_results.csv").exists()
+    assert (tmp_path / "evaluation_results_overall.json").exists()
+
+    # fixed threshold skips the search; val split scores the 10% subset
+    args.threshold = 0.5
+    args.use_val_split = True
+    args.output_dir = str(tmp_path / "fixed")
+    m2 = evaluate_checkpoint(args)
+    assert m2["threshold"] == 0.5
+    assert not (tmp_path / "fixed" / "optimal_thresholds.json").exists()
