@@ -36,13 +36,14 @@ def _collect(predict_fn: Callable, loader) -> tuple:
     from ..parallel.mesh import gather_to_host
 
     probs_all, targets_all = [], []
-    for batch in loader:
+
+    def resolve(item):
         # gather_to_host makes probs/labels/mask GLOBAL on every process
         # (multi-host: loaders hold per-process slices, predictions are
         # device-sharded); a no-op np conversion on one host
-        probs = gather_to_host(predict_fn(batch))
-        labels = gather_to_host(np.asarray(batch["labels"]))
-        mask = batch.get("batch_mask")
+        probs_dev, labels, mask = item
+        probs = gather_to_host(probs_dev)
+        labels = gather_to_host(np.asarray(labels))
         if mask is not None:
             mask = gather_to_host(np.asarray(mask))
             probs = probs[mask]
@@ -51,6 +52,18 @@ def _collect(predict_fn: Callable, loader) -> tuple:
             targets = labels
         probs_all.append(probs)
         targets_all.append(targets)
+
+    # one batch stays in flight: predict_fn's jax dispatch is async, so
+    # batch N+1's host->device transfer + compute overlap materializing
+    # batch N's probabilities here instead of serializing per batch
+    pending = None
+    for batch in loader:
+        probs_dev = predict_fn(batch)
+        if pending is not None:
+            resolve(pending)
+        pending = (probs_dev, batch["labels"], batch.get("batch_mask"))
+    if pending is not None:
+        resolve(pending)
     return np.vstack(probs_all), np.vstack(targets_all)
 
 
