@@ -62,8 +62,11 @@ def evaluate_checkpoint(args, engine: TaggerEngine | None = None) -> dict:
 
     def predict_fn(batch):
         # loader hands HWC uint8; the engine pads to device multiples and
-        # normalizes on device, and slices its own pads off the result
-        return engine.classify(np.asarray(batch["pixel_values"]))
+        # normalizes on device.  Return the (lazily sliced) DEVICE array so
+        # the pipelined collection pass overlaps this batch's materialization
+        # with the next batch's transfer + compute
+        probs, b = engine.classify_async(np.asarray(batch["pixel_values"]))
+        return probs[:b]
 
     collected = collect_predictions(predict_fn, loader)
     threshold = getattr(args, "threshold", None)
