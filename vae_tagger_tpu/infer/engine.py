@@ -232,11 +232,18 @@ class TaggerEngine:
 
         return jax.device_put(pixels_uint8, batch_sharding(self.mesh))
 
+    def encode_async(self, pixels_uint8: np.ndarray):
+        """Dispatch the encode without fetching: (device_latents, count).
+
+        Same contract as classify_async — the caller flattens/serializes the
+        previous batch while this one runs on the device."""
+        px, b = self._pad_batch(pixels_uint8, self._pad_multiple())
+        return self._encode_fn(self.vae_params, self._place(px)), b
+
     def encode(self, pixels_uint8: np.ndarray) -> np.ndarray:
         """(B, H, W, 3) uint8 -> (B, h, w, C) scaled/shifted latents."""
-        px, b = self._pad_batch(pixels_uint8, self._pad_multiple())
-        return np.asarray(self._encode_fn(self.vae_params,
-                                          self._place(px)))[:b]
+        latents, b = self.encode_async(pixels_uint8)
+        return np.asarray(latents)[:b]
 
     def classify(self, pixels_uint8: np.ndarray) -> np.ndarray:
         """(B, H, W, 3) uint8 -> (B, num_tags) sigmoid probabilities."""

@@ -42,6 +42,21 @@ def infer_and_save_latents(engine, image_path: str,
     latent_data = {}
     processed, errors = 0, 0
     meter = ThroughputMeter()
+    # one batch in flight: the per-batch host work here (flatten + tolist of
+    # ~2M floats at 1024px batch 8) is substantial, so serialize it against
+    # the PREVIOUS dispatch and let the device run ahead
+    encode_async = getattr(engine, "encode_async",
+                           lambda px: (engine.encode(px), len(px)))
+    pending = None  # (batch_paths, device_latents, n)
+
+    def resolve(batch_paths, latents_dev, n):
+        nonlocal processed
+        latents = np.asarray(latents_dev)[:n]
+        for path, z in zip(batch_paths, latents):
+            latent_data[path] = flatten_latent_torch_order(
+                np.asarray(z, np.float32)).tolist()
+        processed += n
+        meter.update(n)
 
     for evt in iter_image_batches(image_paths, resolution, batch_size,
                                   num_workers, prefetch_factor):
@@ -52,12 +67,12 @@ def infer_and_save_latents(engine, image_path: str,
         _, batch_paths, block = evt
         n = len(batch_paths)
         block = pad_tail_rows(block, batch_size)  # keep the compiled shape
-        latents = engine.encode(block)[:n]
-        for path, z in zip(batch_paths, latents):
-            latent_data[path] = flatten_latent_torch_order(
-                np.asarray(z, np.float32)).tolist()
-        processed += n
-        meter.update(n)
+        latents_dev, _ = encode_async(block)
+        if pending is not None:
+            resolve(*pending)
+        pending = (batch_paths, latents_dev, n)
+    if pending is not None:
+        resolve(*pending)
 
     if verbose:
         print(f"done — ok: {processed}, failed: {errors}, "
@@ -100,13 +115,17 @@ class VAEOnlyEngine:
 
         self._encode_fn = encode_fn
 
-    def encode(self, pixels_uint8):
+    def encode_async(self, pixels_uint8):
+        """Dispatch without fetching: (device_latents, real_count)."""
         import jax.numpy as jnp
 
         from .engine import TaggerEngine
 
         # sublane padding: tail batches < 8 rows measured ~3x lower
-        # per-pixel throughput on v5e (pads sliced off)
+        # per-pixel throughput on v5e (pads sliced off by the caller)
         px, b = TaggerEngine._pad_batch(np.asarray(pixels_uint8))
-        return np.asarray(self._encode_fn(self.vae_params,
-                                          jnp.asarray(px)))[:b]
+        return self._encode_fn(self.vae_params, jnp.asarray(px)), b
+
+    def encode(self, pixels_uint8):
+        latents, b = self.encode_async(pixels_uint8)
+        return np.asarray(latents)[:b]
