@@ -49,3 +49,18 @@ def test_writer_wait_is_idempotent():
     w.submit(lambda: None)
     w.wait()
     w.wait()  # nothing pending: no-op, no error
+
+
+def test_one_in_flight_defers_exactly_one():
+    from vae_tagger_tpu.utils.pipelining import OneInFlight
+
+    out = []
+    p = OneInFlight(lambda *a: out.append(a))
+    p.submit(1, "a")
+    assert out == []  # first payload stays in flight
+    p.submit(2, "b")
+    assert out == [(1, "a")]  # resolved by the next submit
+    p.flush()
+    assert out == [(1, "a"), (2, "b")]
+    p.flush()  # idempotent
+    assert out == [(1, "a"), (2, "b")]

@@ -51,10 +51,13 @@ def evaluate_checkpoint(args, engine: TaggerEngine | None = None) -> dict:
     )
     indices = None
     if getattr(args, "use_val_split", False):
-        _, indices = train_val_split(len(dataset), 0.1,
-                                     seed=getattr(args, "seed", 42))
+        # trainers split with `args.seed or 42` (train/loop.py:38) — match
+        # exactly, incl. seed 0 falling through to 42, or --use_val_split
+        # silently scores a mix of train and val samples
+        split_seed = getattr(args, "seed", 42) or 42
+        _, indices = train_val_split(len(dataset), 0.1, seed=split_seed)
         print(f"evaluating the training val split: {len(indices)} of "
-              f"{len(dataset)} samples (seed {getattr(args, 'seed', 42)})")
+              f"{len(dataset)} samples (split seed {split_seed})")
     loader = DataLoader(dataset, args.batch_size, shuffle=False,
                         num_workers=args.num_workers,
                         prefetch_factor=args.prefetch_factor,

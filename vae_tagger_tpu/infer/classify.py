@@ -16,6 +16,7 @@ from typing import List
 import numpy as np
 
 from ..data.paths import get_image_paths
+from ..utils.pipelining import OneInFlight
 from ..utils.profiling import ThroughputMeter
 from .engine import TaggerEngine
 from .pipeline import iter_image_batches, pad_tail_rows
@@ -69,8 +70,6 @@ def infer_and_classify(engine: TaggerEngine, image_path: str,
     # one batch kept in flight: batch N's (async) device dispatch runs
     # while batch N-1's probabilities are fetched + formatted on host and
     # the pipeline threads decode batch N+1
-    pending = None
-
     def finalize(paths, device_probs, n):
         nonlocal processed
         probs = np.asarray(device_probs)[:n]
@@ -83,6 +82,7 @@ def infer_and_classify(engine: TaggerEngine, image_path: str,
             print(f"processed {processed}/{len(image_paths)} images "
                   f"({errors} errors skipped)")
 
+    pipeline = OneInFlight(finalize)
     for evt in iter_image_batches(image_paths, resolution, batch_size,
                                   num_workers, prefetch_factor):
         if evt[0] == "error":
@@ -93,11 +93,8 @@ def infer_and_classify(engine: TaggerEngine, image_path: str,
         n = len(batch_paths)
         block = pad_tail_rows(block, batch_size)  # keep the compiled shape
         device_probs, _ = engine.classify_async(block)
-        if pending is not None:
-            finalize(*pending)
-        pending = (batch_paths, device_probs, n)
-    if pending is not None:
-        finalize(*pending)
+        pipeline.submit(batch_paths, device_probs, n)
+    pipeline.flush()
 
     if verbose:
         print(f"done — ok: {processed}, failed: {errors}, "

@@ -14,6 +14,7 @@ from pathlib import Path
 import numpy as np
 
 from ..data.paths import get_image_paths
+from ..utils.pipelining import OneInFlight
 from ..utils.profiling import ThroughputMeter
 from .engine import TaggerEngine, load_vae_bundle
 from .pipeline import iter_image_batches, pad_tail_rows
@@ -47,7 +48,6 @@ def infer_and_save_latents(engine, image_path: str,
     # the PREVIOUS dispatch and let the device run ahead
     encode_async = getattr(engine, "encode_async",
                            lambda px: (engine.encode(px), len(px)))
-    pending = None  # (batch_paths, device_latents, n)
 
     def resolve(batch_paths, latents_dev, n):
         nonlocal processed
@@ -58,6 +58,7 @@ def infer_and_save_latents(engine, image_path: str,
         processed += n
         meter.update(n)
 
+    pipeline = OneInFlight(resolve)
     for evt in iter_image_batches(image_paths, resolution, batch_size,
                                   num_workers, prefetch_factor):
         if evt[0] == "error":
@@ -68,11 +69,8 @@ def infer_and_save_latents(engine, image_path: str,
         n = len(batch_paths)
         block = pad_tail_rows(block, batch_size)  # keep the compiled shape
         latents_dev, _ = encode_async(block)
-        if pending is not None:
-            resolve(*pending)
-        pending = (batch_paths, latents_dev, n)
-    if pending is not None:
-        resolve(*pending)
+        pipeline.submit(batch_paths, latents_dev, n)
+    pipeline.flush()
 
     if verbose:
         print(f"done — ok: {processed}, failed: {errors}, "
