@@ -97,3 +97,50 @@ def test_infer_and_classify_e2e_sharded_equals_single(engine, sharded,
         assert ta.keys() == tb.keys()
         for tag in ta:  # 4-decimal rounding in the JSON schema
             assert abs(ta[tag] - tb[tag]) <= 1e-3, (k, tag)
+
+
+def test_meshed_engine_serves_http(engine, sharded):
+    """serve.py wires a meshed engine on multi-device hosts; the HTTP path
+    (decode -> batching worker -> sharded classify) must match the
+    single-device engine per image."""
+    import concurrent.futures
+    import io
+    import urllib.request
+
+    from PIL import Image
+
+    from vae_tagger_tpu.serve import TaggerServer
+
+    def jpeg(seed):
+        r = np.random.default_rng(seed)
+        img = Image.fromarray(r.integers(0, 255, (48, 40, 3), dtype=np.uint8))
+        buf = io.BytesIO()
+        img.save(buf, "JPEG", quality=95)
+        return buf.getvalue()
+
+    with TaggerServer(sharded, resolution=32, threshold=0.0,
+                      host="127.0.0.1", port=0, max_batch=4,
+                      batch_timeout_ms=30) as server:
+        base = f"http://127.0.0.1:{server.port}"
+
+        def post(i):
+            req = urllib.request.Request(f"{base}/classify",
+                                         data=jpeg(i), method="POST")
+            with urllib.request.urlopen(req, timeout=120) as r:
+                return json.load(r)
+
+        with concurrent.futures.ThreadPoolExecutor(4) as ex:
+            outs = list(ex.map(post, range(4)))
+
+    # oracle: decode the same bytes through the same policy, classify on
+    # the single-device engine
+    from vae_tagger_tpu.data.bucketing import decode_bytes_square
+
+    px = np.stack([decode_bytes_square(jpeg(i), 32) for i in range(4)])
+    ref = engine.classify(px)
+    for i, out in enumerate(outs):
+        got = {t["tag"]: t["confidence"] for t in out["predicted_tags"]}
+        want = {engine.tag_names[j]: float(f"{float(p):.4f}")
+                for j, p in enumerate(ref[i])}
+        for tag, conf in got.items():
+            assert abs(conf - want[tag]) <= 1e-3, (i, tag, conf, want[tag])
