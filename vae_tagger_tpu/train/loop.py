@@ -20,6 +20,7 @@ import numpy as np
 from ..data.dataset import TaggedImageDataset
 from ..data.loader import DataLoader, train_val_split
 from ..parallel.mesh import is_main_process, make_mesh, shard_batch
+from ..utils.pipelining import OneInFlight
 
 
 def build_dataset_and_loaders(args, return_triplets: bool):
@@ -210,13 +211,22 @@ class EpochLoop:
             # batch losses weighted by real (non-padded) row counts so the
             # sampler's fixed-shape padding doesn't skew best-model selection
             val_losses, val_weights = [], []
+
+            def drain_val(loss_dev, n_real):
+                val_losses.append(float(jax.device_get(loss_dev)))
+                val_weights.append(max(n_real, 0))
+
+            # one batch in flight: fetching batch N's loss blocks until N
+            # completes; dispatching N+1 first keeps the device busy through
+            # the fetch round trip
+            val_pipeline = OneInFlight(drain_val)
             for i, (batch, n_real) in enumerate(
                     self._prefetched(self.val_loader)):
                 # distinct rng per val batch (sampling/dropout noise must
                 # not repeat across batches)
                 metrics = self.run_eval_step(state, batch, global_step + i)
-                val_losses.append(float(jax.device_get(metrics["loss"])))
-                val_weights.append(max(n_real, 0))
+                val_pipeline.submit(metrics["loss"], n_real)
+            val_pipeline.flush()
 
             # epoch train loss weighted by real rows, consistent with the
             # val aggregation below (padded tail batches carry duplicates)
