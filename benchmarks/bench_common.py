@@ -36,22 +36,18 @@ def measure_rtt(reps: int = 10) -> float:
     return (time.perf_counter() - t0) / reps
 
 
-def build_full_train_setup(remat: bool = True):
-    """Full-size FLUX VAE (+remat) + 1000-class attention tagger + AdamW:
-    the shared fixture for every train-step benchmark (probe_512_full,
-    train_full_mix, bs1_*).  Returns (vae, decoder, vae_params,
-    decoder_variables, tx) — one definition so the model/optimizer shape
-    behind every published train number cannot drift between scripts."""
-    import optax
-
+def _build_full_models(remat: bool = False):
+    """One definition of the full-size model pair (FLUX VAE + 1000-class
+    attention tagger, bf16, init keys 0/1/2) shared by the train and
+    inference fixtures below, so the shapes behind every published number
+    cannot drift between scripts."""
     from vae_tagger_tpu.core.config import default_flux_vae_config
     from vae_tagger_tpu.core.precision import BF16
     from vae_tagger_tpu.infer.engine import build_decoder
     from vae_tagger_tpu.models.autoencoder_kl import AutoencoderKL
-    from vae_tagger_tpu.train.state import build_optimizer
 
     cfg = default_flux_vae_config()
-    vae = AutoencoderKL(cfg, dtype=jnp.bfloat16, remat=remat)
+    vae = AutoencoderKL(cfg, dtype=BF16.compute_dtype, remat=remat)
     decoder = build_decoder(1000, use_attention=True, latent_channels=16,
                             policy=BF16)
     vp = jax.jit(vae.init)({"params": jax.random.key(0)},
@@ -60,6 +56,19 @@ def build_full_train_setup(remat: bool = True):
     dv = jax.jit(decoder.init, static_argnames=("deterministic",))(
         {"params": jax.random.key(2)}, jnp.zeros((1, 32, 32, 16)),
         deterministic=True)
+    return vae, decoder, vp, dv
+
+
+def build_full_train_setup(remat: bool = True):
+    """Full-size FLUX VAE (+remat) + 1000-class attention tagger + AdamW:
+    the shared fixture for every train-step benchmark (probe_512_full,
+    train_full_mix, bs1_*).  Returns (vae, decoder, vae_params,
+    decoder_variables, tx)."""
+    import optax
+
+    from vae_tagger_tpu.train.state import build_optimizer
+
+    vae, decoder, vp, dv = _build_full_models(remat=remat)
     tx = build_optimizer(optax.constant_schedule(1e-3), 1e-6, 1.0, 1)
     return vae, decoder, vp, dv, tx
 
@@ -90,21 +99,10 @@ def fresh_full_state(vp, dv, tx):
 
 def build_full_engine():
     """Full-size FLUX VAE + 1000-class attention tagger in a TaggerEngine."""
-    from vae_tagger_tpu.core.config import default_flux_vae_config
     from vae_tagger_tpu.core.precision import BF16
-    from vae_tagger_tpu.infer.engine import TaggerEngine, build_decoder
-    from vae_tagger_tpu.models.autoencoder_kl import AutoencoderKL
+    from vae_tagger_tpu.infer.engine import TaggerEngine
 
-    cfg = default_flux_vae_config()
-    vae = AutoencoderKL(cfg, dtype=BF16.compute_dtype)
-    decoder = build_decoder(1000, use_attention=True, latent_channels=16,
-                            policy=BF16)
-    vp = jax.jit(vae.init)({"params": jax.random.key(0)},
-                           jnp.zeros((1, 256, 256, 3)),
-                           jax.random.key(1))["params"]
-    dv = jax.jit(decoder.init, static_argnames=("deterministic",))(
-        {"params": jax.random.key(2)}, jnp.zeros((1, 32, 32, 16)),
-        deterministic=True)
+    vae, decoder, vp, dv = _build_full_models()
     return TaggerEngine(vae=vae, vae_params=vp, decoder=decoder,
                         decoder_variables=dict(dv),
                         tag_names=[f"tag_{i}" for i in range(1000)],

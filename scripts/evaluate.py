@@ -64,18 +64,11 @@ def main():
     args = parser.parse_args()
     args.attention_config = resolve_attention_flags(args)
 
-    import jax
-
     from vae_tagger_tpu.eval.standalone import evaluate_checkpoint
+    from vae_tagger_tpu.parallel.mesh import auto_data_parallel
 
-    args.mesh = None
-    if jax.device_count() > 1 and not args.no_data_parallel:
-        from vae_tagger_tpu.parallel.mesh import make_mesh
-
-        args.mesh = make_mesh()
-        args.batch_size = max(args.batch_size, 8 * args.mesh.size)
-        print(f"data-parallel evaluation over {args.mesh.size} devices "
-              f"(batch {args.batch_size})")
+    args.mesh, args.batch_size = auto_data_parallel(
+        args.batch_size, not args.no_data_parallel, what="evaluation")
 
     os.makedirs(args.output_dir, exist_ok=True)
     metrics = evaluate_checkpoint(args)

@@ -62,22 +62,14 @@ def main():
         args.decoder_checkpoint = (args.decoder_checkpoint
                                    or args.model_checkpoint)
 
-    import jax
-
     from vae_tagger_tpu.infer import TaggerEngine, infer_and_classify
+    from vae_tagger_tpu.parallel.mesh import auto_data_parallel
 
     # data-parallel inference by default on multi-device hosts: params
     # replicate, batches shard P('data') (reference parity: accelerate
     # launch multi-GPU inference)
-    mesh = None
-    batch_size = args.batch_size
-    if jax.device_count() > 1 and not args.no_data_parallel:
-        from vae_tagger_tpu.parallel.mesh import make_mesh
-
-        mesh = make_mesh()
-        batch_size = max(batch_size, 8 * mesh.size)
-        print(f"data-parallel inference over {mesh.size} devices "
-              f"(batch {batch_size})")
+    mesh, batch_size = auto_data_parallel(args.batch_size,
+                                          not args.no_data_parallel)
 
     engine = TaggerEngine.load(
         vae_checkpoint=args.vae_checkpoint,

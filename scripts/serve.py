@@ -43,24 +43,22 @@ def main():
     p.add_argument("--max_queue", type=int, default=64,
                    help="pending-request cap; beyond it requests get 503")
     p.add_argument("--no_warmup", action="store_true")
+    p.add_argument("--no_data_parallel", action="store_true",
+                   help="disable automatic SPMD sharding across all local "
+                        "devices")
     p.add_argument("--no_attention", action="store_true")
     p.add_argument("--mixed_precision", type=str, default=None,
                    choices=[None, "no", "fp16", "bf16"])
     args = p.parse_args()
 
-    import jax
-
     from vae_tagger_tpu.infer.engine import TaggerEngine
+    from vae_tagger_tpu.parallel.mesh import auto_data_parallel
     from vae_tagger_tpu.serve import TaggerServer
 
     # multi-device hosts serve SPMD: one program spanning all chips, batch
     # sharded P('data'); max_batch below scales to keep every chip fed
-    mesh = None
-    if jax.device_count() > 1:
-        from vae_tagger_tpu.parallel.mesh import make_mesh
-
-        mesh = make_mesh()
-        print(f"serving data-parallel over {mesh.size} devices")
+    mesh, default_max_batch = auto_data_parallel(
+        8, not args.no_data_parallel, what="serving")
 
     engine = TaggerEngine.load(
         mesh=mesh,
@@ -71,7 +69,7 @@ def main():
         use_attention=not args.no_attention,
         mixed_precision=args.mixed_precision)
     # micro-batch scales with the mesh: 8 sublane rows per device
-    max_batch = args.max_batch or 8 * jax.device_count()
+    max_batch = args.max_batch or default_max_batch
     server = TaggerServer(engine, resolution=tuple(args.resolution),
                           threshold=args.confidence_threshold,
                           host=args.host, port=args.port,

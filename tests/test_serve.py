@@ -379,3 +379,17 @@ def test_worker_keeps_one_batch_in_flight():
     finally:
         eng.fetch_release.set()
         worker.stop()
+
+
+def test_http_bad_resolution_with_large_body_gets_the_400(engine):
+    """Early-reject paths must drain the unread body like the 413 path:
+    closing with megabytes unread RSTs away the in-flight error JSON."""
+    with TaggerServer(engine, resolution=64, host="127.0.0.1", port=0,
+                      max_body_bytes=32 * 1024 * 1024) as server:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{server.port}/classify?resolution=999",
+            data=b"x" * (8 * 1024 * 1024), method="POST")
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=30)
+        assert ei.value.code == 400
+        assert "not served" in json.load(ei.value)["error"]

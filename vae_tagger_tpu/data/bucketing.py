@@ -18,11 +18,25 @@ TPU-first differences:
 from __future__ import annotations
 
 import io
+import os
 import random
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 from PIL import Image
+
+
+def _jpeg_quality_factor() -> int:
+    """JPEG decode policy for the native fused path.
+
+    Default 2 = DCT-domain scaled decode (measured 27.4 vs 35 ms/image at
+    1024px) — pixels stay within the parity tests' tolerance of PIL but are
+    not identical to a full decode, so a fleet mixing native and PIL hosts
+    sees small per-host pixel differences on the SAME jpeg.
+    ``VAE_TAGGER_DECODE_EXACT=1`` forces a full decode (quality_factor 0):
+    the native path then matches PIL within the resizer's ±1, and
+    ``VAE_TAGGER_NATIVE_DECODE=0`` remains the bit-exact full-PIL switch."""
+    return 0 if os.environ.get("VAE_TAGGER_DECODE_EXACT") == "1" else 2
 
 
 class SmartResize:
@@ -191,7 +205,7 @@ def _native_decode_resize(path, width: int, height: int, crop_mode: str,
             elif original_ratio < target_ratio:
                 offset = (0, random.randint(0, oh - int(ow / target_ratio)))
         return native.decode_image_resize(data, width, height, crop_mode,
-                                          offset, quality_factor=2,
+                                          offset, quality_factor=_jpeg_quality_factor(),
                                           resample=resample), data
     except Exception:
         return None, None
@@ -209,13 +223,13 @@ def decode_bytes_square(data: bytes, resolution: int,
     try:
         from .. import native
 
-        fmt = native.sniff_format(data)
-        if fmt is not None and fmt in native.decode_formats():
-            out = native.decode_image_resize(data, resolution, resolution,
-                                             "distort", quality_factor=2,
-                                             resample="bilinear")
-            if out is not None:
-                return out.astype(dtype, copy=False)
+        # decode_image_resize sniffs the format itself and returns None for
+        # anything it can't handle natively
+        out = native.decode_image_resize(data, resolution, resolution,
+                                         "distort", quality_factor=_jpeg_quality_factor(),
+                                         resample="bilinear")
+        if out is not None:
+            return out.astype(dtype, copy=False)
     except Exception:
         pass
     img = Image.open(io.BytesIO(data)).convert("RGB")

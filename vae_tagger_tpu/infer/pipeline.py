@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import queue
 import threading
+from collections import deque
 from concurrent.futures import ThreadPoolExecutor
 from itertools import islice
 from typing import Iterator, Sequence
@@ -77,21 +78,32 @@ def iter_image_batches(image_paths: Sequence, resolution: int,
         try:
             imgs, paths = [], []
             it = iter(image_paths)
+            # a sliding window of in-flight decode futures, consumed in
+            # submit (= input) order: no per-batch barrier, so one slow
+            # decode (a big PNG among JPEGs) never idles the other workers,
+            # and decoding continues while a finished batch is stacked and
+            # queued.  The window bounds decoded-image memory.
+            inflight = deque()
+            window = max(1, num_workers) + batch_size
+
             with ThreadPoolExecutor(max(1, num_workers)) as pool:
-                while True:
-                    # top up with exactly as many decodes as the batch still
-                    # needs; failures shrink the chunk and the next round
-                    # refills
-                    chunk = list(islice(it, batch_size - len(imgs)))
-                    if not chunk:
-                        break
-                    for p, img, err in pool.map(load, chunk):
-                        if err is not None:
-                            if not safe_put(("error", str(p), err)):
-                                return
-                        else:
-                            imgs.append(img)
-                            paths.append(str(p))
+                def top_up():
+                    while len(inflight) < window:
+                        nxt = list(islice(it, 1))
+                        if not nxt:
+                            return
+                        inflight.append(pool.submit(load, nxt[0]))
+
+                top_up()
+                while inflight:
+                    p, img, err = inflight.popleft().result()
+                    top_up()
+                    if err is not None:
+                        if not safe_put(("error", str(p), err)):
+                            return
+                        continue
+                    imgs.append(img)
+                    paths.append(str(p))
                     if len(imgs) == batch_size:
                         if not safe_put(("batch", paths, np.stack(imgs))):
                             return

@@ -32,6 +32,22 @@ def make_mesh(axis_names: Sequence[str] = ("data",),
     return Mesh(np.asarray(devices), tuple(axis_names))
 
 
+def auto_data_parallel(batch_size: int, enabled: bool = True,
+                       what: str = "inference"):
+    """(mesh, scaled_batch) for SPMD data parallelism on multi-device hosts.
+
+    One owner for the bootstrap the inference/eval/serving CLIs share:
+    single-device hosts (or ``enabled=False`` via ``--no_data_parallel``)
+    get (None, batch_size); multi-device hosts get a 1-D data mesh and the
+    batch scaled to at least 8 sublane rows per device."""
+    if not enabled or jax.device_count() <= 1:
+        return None, batch_size
+    mesh = make_mesh()
+    scaled = max(batch_size, 8 * mesh.size)
+    print(f"data-parallel {what} over {mesh.size} devices (batch {scaled})")
+    return mesh, scaled
+
+
 def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
     """Shard the leading (batch) dimension across the mesh."""
     return NamedSharding(mesh, P(axis))

@@ -285,19 +285,6 @@ def _make_handler(worker: BatchingWorker, engine: TaggerEngine,
             if parsed.path != "/classify":
                 self._json(404, {"error": "unknown path"})
                 return
-            resolution = default_resolution
-            qs = urllib.parse.parse_qs(parsed.query)
-            if "resolution" in qs:
-                try:
-                    resolution = int(qs["resolution"][0])
-                except ValueError:
-                    self._json(400, {"error": "bad resolution"})
-                    return
-                if resolution not in allowed:
-                    self._json(400, {
-                        "error": f"resolution {resolution} not served",
-                        "resolutions": sorted(allowed)})
-                    return
             try:
                 length = int(self.headers.get("Content-Length", "0"))
             except ValueError:
@@ -306,6 +293,24 @@ def _make_handler(worker: BatchingWorker, engine: TaggerEngine,
             if length <= 0:
                 self._json(400, {"error": "empty body"})
                 return
+            resolution = default_resolution
+            qs = urllib.parse.parse_qs(parsed.query)
+            if "resolution" in qs:
+                # every early reject must drain the (never-read) body like
+                # the 413 path below, or closing with unread bytes RSTs
+                # away the in-flight error response
+                try:
+                    resolution = int(qs["resolution"][0])
+                except ValueError:
+                    self._json(400, {"error": "bad resolution"})
+                    self._discard_body(length)
+                    return
+                if resolution not in allowed:
+                    self._json(400, {
+                        "error": f"resolution {resolution} not served",
+                        "resolutions": sorted(allowed)})
+                    self._discard_body(length)
+                    return
             if length > max_body_bytes:
                 # reject BEFORE buffering the body in RAM; then drain it in
                 # bounded chunks so the connection closes cleanly — closing
@@ -365,10 +370,26 @@ class TaggerServer:
             # compile the padded device-batch program(s) BEFORE accepting
             # requests: first-compile takes minutes through a remote-compile
             # relay, and a cold server would 500 every early request on its
-            # submit timeout while discarding the computed batch
+            # submit timeout while discarding the computed batch.  The
+            # worker coalesces 1..max_batch requests and the engine pads to
+            # sublane multiples, so EVERY padded shape in that range must be
+            # warmed — a max_batch above the pad multiple otherwise hits a
+            # cold shape on the first large coalesced batch (e.g. 9 requests
+            # -> 16 rows).  On backends that don't pad (multiple 1), warming
+            # the two extremes covers the common shapes without a compile
+            # per batch size.
+            import jax
+
+            mult = (getattr(engine, "_pad_multiple", lambda: None)()
+                    or (8 if jax.default_backend() == "tpu" else 1))
+            top = -(-max(1, max_batch) // mult) * mult
+            sizes = (list(range(mult, top + 1, mult)) if mult > 1
+                     else sorted({1, top}))
             for r in resolutions:
-                print(f"warming up the {r}px classify program ...")
-                engine.classify(np.zeros((1, r, r, 3), dtype=np.uint8))
+                for b in sizes:
+                    print(f"warming up the {r}px batch-{b} classify "
+                          f"program ...")
+                    engine.classify(np.zeros((b, r, r, 3), dtype=np.uint8))
         self.worker = BatchingWorker(engine, max_batch, batch_timeout_ms,
                                      request_timeout_s, max_queue=max_queue)
         handler = _make_handler(self.worker, engine, resolutions, threshold,
