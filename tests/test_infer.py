@@ -159,3 +159,46 @@ def test_standalone_evaluate_checkpoint(artifacts, tmp_path):
     m2 = evaluate_checkpoint(args)
     assert m2["threshold"] == 0.5
     assert not (tmp_path / "fixed" / "optimal_thresholds.json").exists()
+
+
+def test_engine_serves_sd_family_vae(tmp_path):
+    """The whole engine path (config -> quant-conv VAE -> 4-ch latents ->
+    tagger head sized from the config) works for the SD VAE family."""
+    from vae_tagger_tpu.core.config import default_sd_vae_config
+
+    cfg = default_sd_vae_config(block_out_channels=(8, 16, 16, 16),
+                                norm_num_groups=4, sample_size=64)
+    model = AutoencoderKL(cfg)
+    params = jax.jit(model.init)({"params": jax.random.key(0)},
+                                 jnp.zeros((1, 64, 64, 3)),
+                                 jax.random.key(1))["params"]
+    vae_dir = str(tmp_path / "sd_vae")
+    save_vae_pretrained(params, cfg, vae_dir)
+
+    # 4-ch latents compress to 2 channels: 8 heads cannot divide them (the
+    # reference's torch MultiheadAttention has the same constraint), so SD
+    # taggers use num_heads=2 (or the plain head)
+    decoder = build_decoder(5, use_attention=True, latent_channels=4,
+                            attention_config={"attention_heads": 2})
+    variables = jax.jit(decoder.init, static_argnames=("deterministic",))(
+        {"params": jax.random.key(2)}, jnp.zeros((1, 8, 8, 4)),
+        deterministic=True)
+    bin_path = str(tmp_path / "decoder.bin")
+    save_decoder_bin(variables["params"], variables.get("batch_stats"),
+                     bin_path)
+    csv_path = str(tmp_path / "tags.csv")
+    with open(csv_path, "w") as f:
+        f.write("name\n" + "\n".join(f"t{i}" for i in range(5)))
+
+    engine = TaggerEngine.load(
+        vae_checkpoint=f"{vae_dir}/diffusion_pytorch_model.safetensors",
+        decoder_checkpoint=bin_path,
+        tags_csv_path=csv_path,
+        vae_config_path=f"{vae_dir}/config.json",
+        attention_config={"attention_heads": 2})
+    px = np.zeros((2, 64, 64, 3), dtype=np.uint8)
+    latents = engine.encode(px)
+    assert latents.shape == (2, 8, 8, 4)  # 4-ch SD latents, scaled/shifted
+    probs = engine.classify(px)
+    assert probs.shape == (2, 5)
+    assert np.all(np.isfinite(probs))

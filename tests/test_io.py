@@ -146,14 +146,71 @@ def test_partial_vae_checkpoint_reports_and_merges(tmp_path, capsys):
     assert "conv_in" in merged["decoder"]
 
 
-def test_quant_conv_config_rejected():
+def test_sd_era_config_json_gets_diffusers_defaults():
+    """A real SD-era config JSON omits the quant-conv flags and shift_factor
+    (they postdate it); diffusers fills them from the AutoencoderKL
+    constructor defaults, and the reference inherits that via
+    AutoencoderKL(**config).  vae_config_from_dict must match."""
+    from vae_tagger_tpu.core.config import vae_config_from_dict
+
+    sd_json = {  # sd-vae-ft-mse's key set
+        "_class_name": "AutoencoderKL",
+        "act_fn": "silu",
+        "block_out_channels": [128, 256, 512, 512],
+        "down_block_types": ["DownEncoderBlock2D"] * 4,
+        "in_channels": 3,
+        "latent_channels": 4,
+        "layers_per_block": 2,
+        "norm_num_groups": 32,
+        "out_channels": 3,
+        "sample_size": 256,
+        "scaling_factor": 0.18215,
+        "up_block_types": ["UpDecoderBlock2D"] * 4,
+    }
+    cfg = vae_config_from_dict(sd_json)
+    assert cfg.use_quant_conv and cfg.use_post_quant_conv
+    assert cfg.latent_channels == 4
+    assert cfg.scaling_factor == 0.18215
+    assert cfg.shift_factor == 0.0
+    # null behaves like absent (diffusers' shift_factor=None == no shift)
+    cfg2 = vae_config_from_dict(dict(sd_json, shift_factor=None))
+    assert cfg2.shift_factor == 0.0
+    # the FLUX config JSON sets all four keys explicitly and is unaffected
+    flux = default_flux_vae_config()
+    from vae_tagger_tpu.core.config import vae_config_from_dict as fd
+    assert fd(flux.to_json_dict()) == flux
+
+
+def test_quant_conv_vae_round_trips_through_diffusers_layout(tmp_path):
+    """SD-family VAE (quant convs on): params export to the diffusers
+    safetensors layout (quant_conv.* / post_quant_conv.* keys) and reload
+    to identical latents."""
+    from vae_tagger_tpu.core.config import default_sd_vae_config
+    from vae_tagger_tpu.io.safetensors_io import (
+        load_vae_pretrained_dir,
+        save_vae_pretrained,
+        torch_state_from_flax_params,
+    )
     from vae_tagger_tpu.models.autoencoder_kl import AutoencoderKL
 
-    cfg = default_flux_vae_config(use_quant_conv=True,
-                                  block_out_channels=(8, 8, 8, 8),
-                                  norm_num_groups=4, latent_channels=4)
+    cfg = default_sd_vae_config(block_out_channels=(8, 16, 16, 16),
+                                norm_num_groups=4, sample_size=32)
     model = AutoencoderKL(cfg)
-    with pytest.raises(NotImplementedError, match="quant_conv"):
-        jax.eval_shape(lambda: model.init(
-            {"params": jax.random.key(0)}, jnp.zeros((1, 16, 16, 3)),
-            jax.random.key(1)))
+    params = jax.jit(model.init)({"params": jax.random.key(0)},
+                                 jnp.zeros((1, 32, 32, 3)),
+                                 jax.random.key(1))["params"]
+    assert "quant_conv" in params and "post_quant_conv" in params
+    state = torch_state_from_flax_params(params)
+    assert "quant_conv.weight" in state  # diffusers key layout
+    assert state["quant_conv.weight"].shape == (8, 8, 1, 1)  # OIHW 1x1
+
+    save_vae_pretrained(params, cfg, str(tmp_path / "vae"))
+    cfg2, params2 = load_vae_pretrained_dir(str(tmp_path / "vae"))
+    assert cfg2.use_quant_conv and cfg2.latent_channels == 4
+
+    x = jnp.asarray(np.random.default_rng(0).normal(
+        size=(1, 32, 32, 3)).astype(np.float32))
+    enc = jax.jit(lambda p, x: model.apply(
+        {"params": p}, x, method=AutoencoderKL.encode).mean)
+    np.testing.assert_array_equal(np.asarray(enc(params, x)),
+                                  np.asarray(enc(params2, x)))

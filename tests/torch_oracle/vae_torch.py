@@ -180,7 +180,8 @@ class Decoder(nn.Module):
 class AutoencoderKLOracle(nn.Module):
     def __init__(self, in_channels=3, out_channels=3,
                  block_out_channels=(128, 256, 512, 512), layers_per_block=2,
-                 latent_channels=16, norm_num_groups=32, add_attention=True):
+                 latent_channels=16, norm_num_groups=32, add_attention=True,
+                 use_quant_conv=False, use_post_quant_conv=False):
         super().__init__()
         self.encoder = Encoder(in_channels, block_out_channels,
                                layers_per_block, latent_channels,
@@ -188,9 +189,20 @@ class AutoencoderKLOracle(nn.Module):
         self.decoder = Decoder(out_channels, block_out_channels,
                                layers_per_block, latent_channels,
                                norm_num_groups, add_attention)
+        # SD-family 1x1 latent convs (diffusers AutoencoderKL defaults;
+        # the FLUX config disables both)
+        self.quant_conv = (nn.Conv2d(2 * latent_channels, 2 * latent_channels,
+                                     1) if use_quant_conv else None)
+        self.post_quant_conv = (nn.Conv2d(latent_channels, latent_channels, 1)
+                                if use_post_quant_conv else None)
 
     def encode_moments(self, x):
-        return self.encoder(x)
+        moments = self.encoder(x)
+        if self.quant_conv is not None:
+            moments = self.quant_conv(moments)
+        return moments
 
     def decode(self, z):
+        if self.post_quant_conv is not None:
+            z = self.post_quant_conv(z)
         return self.decoder(z)

@@ -3,6 +3,7 @@ from .config import (
     VAEConfig,
     AttentionDecoderConfig,
     default_flux_vae_config,
+    default_sd_vae_config,
     vae_config_from_dict,
     get_vae_latent_info,
 )
@@ -13,6 +14,7 @@ __all__ = [
     "VAEConfig",
     "AttentionDecoderConfig",
     "default_flux_vae_config",
+    "default_sd_vae_config",
     "vae_config_from_dict",
     "get_vae_latent_info",
 ]

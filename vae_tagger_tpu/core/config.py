@@ -80,20 +80,51 @@ def default_flux_vae_config(**overrides) -> VAEConfig:
     return dataclasses.replace(VAEConfig(), **overrides)
 
 
+def default_sd_vae_config(**overrides) -> VAEConfig:
+    """The SD 1.x/2.x VAE family (e.g. sd-vae-ft-mse): 4-channel latents,
+    1x1 quant convs around the latent space, scaling 0.18215, no shift.
+    The reference inherits this family through diffusers'
+    ``AutoencoderKL(**config)`` (create_vae_from_config_file)."""
+    base = dict(latent_channels=4, sample_size=256, scaling_factor=0.18215,
+                shift_factor=0.0, use_quant_conv=True,
+                use_post_quant_conv=True)
+    base.update(overrides)
+    return dataclasses.replace(VAEConfig(), **base)
+
+
 _VAE_FIELDS = {f.name for f in dataclasses.fields(VAEConfig)}
+
+
+# diffusers AutoencoderKL constructor defaults for keys a config JSON may
+# omit: SD-era configs (e.g. sd-vae-ft-mse) predate the quant-conv flags and
+# the shift factor, and diffusers fills them in at construction
+# (AutoencoderKL(**config), which is exactly what the reference's
+# create_vae_from_config_file does).  The VAEConfig dataclass defaults above
+# are the FLUX pin instead — the reference's FLUX config JSON sets all four
+# keys EXPLICITLY, so FLUX files are unaffected by these fallbacks.
+_DIFFUSERS_JSON_DEFAULTS = {
+    "use_quant_conv": True,
+    "use_post_quant_conv": True,
+    "scaling_factor": 0.18215,
+    "shift_factor": 0.0,  # diffusers' None == no shift
+}
 
 
 def vae_config_from_dict(d: dict) -> VAEConfig:
     """Build a VAEConfig from a diffusers-style JSON dict, ignoring extras
-    (``_class_name``, ``latents_mean`` etc.) like diffusers does."""
+    (``_class_name``, ``latents_mean`` etc.) like diffusers does; keys the
+    JSON omits (or sets null) get diffusers' constructor defaults so SD-era
+    configs load with the same architecture diffusers would build."""
     kwargs = {}
     for k, v in d.items():
         if k in _VAE_FIELDS:
             if isinstance(v, list):
                 v = tuple(v)
-            if v is None and k in ("scaling_factor", "shift_factor"):
-                continue
+            if v is None and k in _DIFFUSERS_JSON_DEFAULTS:
+                continue  # treat null like an absent key
             kwargs[k] = v
+    for k, v in _DIFFUSERS_JSON_DEFAULTS.items():
+        kwargs.setdefault(k, v)
     return VAEConfig(**kwargs)
 
 

@@ -150,21 +150,33 @@ class AutoencoderKL(nn.Module):
     remat: bool = False
 
     def setup(self):
-        if self.config.use_quant_conv or self.config.use_post_quant_conv:
-            raise NotImplementedError(
-                "use_quant_conv/use_post_quant_conv are not implemented "
-                "(FLUX VAEs use neither); loading an SD-style VAE with "
-                "quant convs would silently produce wrong latents")
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype,
                   remat=self.remat)
         self.encoder = Encoder(self.config, name="encoder", **kw)
         self.decoder = Decoder(self.config, name="decoder", **kw)
+        # SD-family VAEs (diffusers AutoencoderKL defaults) put 1x1 convs
+        # between the encoder/decoder and the latent space; the FLUX config
+        # the reference pins disables both (diffusers_vae_loader.py:102-134).
+        # Named to match the diffusers checkpoint keys quant_conv.* /
+        # post_quant_conv.* (io/safetensors_io.py maps them generically).
+        if self.config.use_quant_conv:
+            self.quant_conv = _conv(2 * self.config.latent_channels, (1, 1),
+                                    "quant_conv", self.dtype,
+                                    self.param_dtype)
+        if self.config.use_post_quant_conv:
+            self.post_quant_conv = _conv(self.config.latent_channels, (1, 1),
+                                         "post_quant_conv", self.dtype,
+                                         self.param_dtype)
 
     def encode(self, x) -> DiagonalGaussian:
-        moments = self.encoder(x).astype(jnp.float32)
-        return DiagonalGaussian.from_moments(moments)
+        moments = self.encoder(x)
+        if self.config.use_quant_conv:
+            moments = self.quant_conv(moments)
+        return DiagonalGaussian.from_moments(moments.astype(jnp.float32))
 
     def decode(self, z) -> jnp.ndarray:
+        if self.config.use_post_quant_conv:
+            z = self.post_quant_conv(z.astype(self.dtype))
         return self.decoder(z).astype(jnp.float32)
 
     def __call__(self, x, rng: jax.Array):

@@ -50,7 +50,11 @@ class SpatialAttention(nn.Module):
     @nn.compact
     def __call__(self, x):
         c = x.shape[-1]
-        hidden = c // self.reduction_ratio
+        # clamp to >= 1: for narrow latents (SD's 4 channels with the default
+        # reduction 8) the reference's nn.Conv2d(C, C//8, 1) is a hard error
+        # (modules.py:20-24) — a 1-channel bottleneck keeps the gate usable
+        # there and is identical wherever the reference runs at all
+        hidden = max(1, c // self.reduction_ratio)
         conv = lambda feats, ksize, name, pad="SAME": nn.Conv(
             feats, ksize, padding=pad, use_bias=False,
             dtype=self.dtype, param_dtype=self.param_dtype, name=name)
@@ -88,7 +92,14 @@ class MultiHeadSelfAttention(nn.Module):
         b, h, w, c = x.shape
         assert c == self.embed_dim
         head_dim = self.embed_dim // self.num_heads
-        assert head_dim * self.num_heads == self.embed_dim
+        if head_dim * self.num_heads != self.embed_dim:
+            # same constraint as torch nn.MultiheadAttention
+            # (/root/reference/modules.py:57); narrow latents (SD's 4ch ->
+            # 2ch compressed) need fewer heads or the plain head
+            raise ValueError(
+                f"embed_dim {self.embed_dim} is not divisible by num_heads "
+                f"{self.num_heads}; pass --attention_heads <divisor> or "
+                f"--no_attention for narrow-latent VAEs")
 
         seq = x.reshape(b, h * w, c)
         residual = seq
