@@ -31,6 +31,7 @@ enable_persistent_compile_cache()
 
 from vae_tagger_tpu.core.cli import (  # noqa: E402
     add_attention_args,
+    add_bucketing_args,
     add_decoder_ckpt_arg,
     add_vae_args,
     resolve_attention_flags,
@@ -60,6 +61,7 @@ def main():
     parser.add_argument("--no_data_parallel", action="store_true",
                         help="disable automatic SPMD sharding across all "
                              "local devices")
+    add_bucketing_args(parser)  # match a bucketed training run's transform
     add_attention_args(parser)
     args = parser.parse_args()
     args.attention_config = resolve_attention_flags(args)

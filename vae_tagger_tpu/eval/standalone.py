@@ -45,7 +45,14 @@ def evaluate_checkpoint(args, engine: TaggerEngine | None = None) -> dict:
         json_path=args.json_path,
         tags_csv_path=args.tags_csv_path,
         resolution=args.resolution,
-        use_bucketing=False,  # evaluation mirrors the inference transform
+        # square transform by default (like inference); pass --use_bucketing
+        # with the training run's bucket grid to reproduce a bucketed
+        # trainer's val metrics exactly (the loader batches per bucket,
+        # one compiled shape each)
+        use_bucketing=getattr(args, "use_bucketing", False),
+        base_resolution=getattr(args, "base_resolution", 512),
+        max_resolution=getattr(args, "max_resolution", 1024),
+        bucket_step=getattr(args, "bucket_step", 64),
         return_triplets=False,
         seed=getattr(args, "seed", 42),
     )
