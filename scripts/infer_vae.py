@@ -32,6 +32,11 @@ def main():
                         help="batches staged ahead of the device "
                              "(TPU extension)")
     parser.add_argument("--mixed_precision", type=str, default=None)
+    parser.add_argument("--output_format", type=str, default="json",
+                        choices=["json", "npz"],
+                        help="json = reference-compatible latent_vectors"
+                             ".json; npz = compressed fp32 arrays keyed by "
+                             "image path (~40x smaller, TPU extension)")
     args = parser.parse_args()
 
     from vae_tagger_tpu.infer import infer_and_save_latents
@@ -45,7 +50,8 @@ def main():
                            resolution=args.resolution,
                            batch_size=args.batch_size,
                            num_workers=args.num_workers,
-                           prefetch_factor=args.prefetch_factor)
+                           prefetch_factor=args.prefetch_factor,
+                           output_format=args.output_format)
 
 
 if __name__ == "__main__":

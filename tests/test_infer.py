@@ -120,6 +120,21 @@ def test_latents_json_and_flatten_order(artifacts, tmp_path):
     flat = flatten_latent_torch_order(z)
     np.testing.assert_array_equal(flat, np.arange(24))
 
+    # npz extension: same values, binary container keyed by image path
+    data_npz = infer_and_save_latents(engine, ds["images_dir"],
+                                      output_dir=str(tmp_path / "npz"),
+                                      resolution=64, batch_size=4,
+                                      verbose=False, output_format="npz")
+    loaded = np.load(tmp_path / "npz" / "latent_vectors.npz")
+    assert set(loaded.files) == set(data.keys())
+    for path, vec in data.items():
+        np.testing.assert_allclose(loaded[path],
+                                   np.asarray(vec, np.float32), rtol=0)
+    with pytest.raises(ValueError, match="output_format"):
+        infer_and_save_latents(engine, ds["images_dir"],
+                               output_dir=str(tmp_path),
+                               resolution=64, output_format="parquet")
+
 
 def test_standalone_evaluate_checkpoint(artifacts, tmp_path):
     """scripts/evaluate.py path: score exported artifacts on a labeled

@@ -31,10 +31,18 @@ def infer_and_save_latents(engine, image_path: str,
                            batch_size: int = 8,
                            verbose: bool = True,
                            num_workers: int = 4,
-                           prefetch_factor: int = 2) -> dict:
+                           prefetch_factor: int = 2,
+                           output_format: str = "json") -> dict:
     """``engine`` needs only ``.encode`` (a TaggerEngine or a VAE-only shim).
 
-    Decode overlaps device compute one batch ahead (see pipeline.py)."""
+    Decode overlaps device compute one batch ahead (see pipeline.py).
+
+    output_format: "json" (reference byte-compat ``latent_vectors.json``,
+    infer_vae.py:76-81 — ~10 bytes/float, minutes of tolist+dump at scale)
+    or "npz" (TPU extension: ``latent_vectors.npz``, one fp32 array per
+    image path, ~40x smaller and loadable with ``np.load``)."""
+    if output_format not in ("json", "npz"):
+        raise ValueError(f"unknown output_format {output_format!r}")
     image_paths = get_image_paths(image_path)
     if not image_paths:
         print("no image files found; check the path")
@@ -53,8 +61,9 @@ def infer_and_save_latents(engine, image_path: str,
         nonlocal processed
         latents = np.asarray(latents_dev)[:n]
         for path, z in zip(batch_paths, latents):
-            latent_data[path] = flatten_latent_torch_order(
-                np.asarray(z, np.float32)).tolist()
+            flat = flatten_latent_torch_order(np.asarray(z, np.float32))
+            latent_data[path] = (flat.tolist() if output_format == "json"
+                                 else flat)
         processed += n
         meter.update(n)
 
@@ -76,10 +85,15 @@ def infer_and_save_latents(engine, image_path: str,
         print(f"done — ok: {processed}, failed: {errors}, "
               f"total: {len(image_paths)}, {meter.report()}")
 
-    output_path = Path(output_dir) / "latent_vectors.json"
-    output_path.parent.mkdir(parents=True, exist_ok=True)
-    with open(output_path, "w", encoding="utf-8") as f:
-        json.dump(latent_data, f, indent=4)
+    if output_format == "npz":
+        output_path = Path(output_dir) / "latent_vectors.npz"
+        output_path.parent.mkdir(parents=True, exist_ok=True)
+        np.savez_compressed(output_path, **latent_data)
+    else:
+        output_path = Path(output_dir) / "latent_vectors.json"
+        output_path.parent.mkdir(parents=True, exist_ok=True)
+        with open(output_path, "w", encoding="utf-8") as f:
+            json.dump(latent_data, f, indent=4)
     if verbose:
         print(f"latent vectors saved to: {output_path}")
     return latent_data
