@@ -58,7 +58,8 @@ def main():
     # multi-device hosts serve SPMD: one program spanning all chips, batch
     # sharded P('data'); max_batch below scales to keep every chip fed
     mesh, default_max_batch = auto_data_parallel(
-        8, not args.no_data_parallel, what="serving")
+        8, not args.no_data_parallel, what="serving",
+        batch_label="default max_batch")
 
     engine = TaggerEngine.load(
         mesh=mesh,

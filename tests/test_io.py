@@ -214,3 +214,34 @@ def test_quant_conv_vae_round_trips_through_diffusers_layout(tmp_path):
         {"params": p}, x, method=AutoencoderKL.encode).mean)
     np.testing.assert_array_equal(np.asarray(enc(params, x)),
                                   np.asarray(enc(params2, x)))
+
+
+def test_flux_checkpoint_with_quant_config_warns_loudly(tmp_path, capsys):
+    """A trimmed config JSON omitting the quant flags defaults them TRUE
+    (diffusers semantics); loading a FLUX-family checkpoint (no quant_conv
+    weights) then silently runs random quant convs -- the load must warn
+    loudly and name the fix."""
+    from vae_tagger_tpu.core.config import default_sd_vae_config
+    from vae_tagger_tpu.infer.engine import load_vae_bundle
+    from vae_tagger_tpu.models.autoencoder_kl import AutoencoderKL
+    import json as _json
+
+    flux_like = default_flux_vae_config(block_out_channels=(8, 8, 8, 8),
+                                        norm_num_groups=4, latent_channels=4)
+    model = AutoencoderKL(flux_like)
+    params = jax.jit(model.init)({"params": jax.random.key(0)},
+                                 jnp.zeros((1, 16, 16, 3)),
+                                 jax.random.key(1))["params"]
+    save_vae_pretrained(params, flux_like, str(tmp_path / "vae"))
+
+    # a config requesting quant convs the checkpoint does not have
+    quant_cfg = default_sd_vae_config(block_out_channels=(8, 8, 8, 8),
+                                      norm_num_groups=4, latent_channels=4)
+    cfg_path = str(tmp_path / "quant_config.json")
+    with open(cfg_path, "w") as f:
+        _json.dump(quant_cfg.to_json_dict(), f)
+    load_vae_bundle(
+        vae_checkpoint=f"{tmp_path}/vae/diffusion_pytorch_model.safetensors",
+        vae_config_path=cfg_path)
+    out = capsys.readouterr().out
+    assert "WARNING" in out and "quant_conv" in out and "FLUX" in out

@@ -66,8 +66,8 @@ def load_vae_bundle(vae_checkpoint: Optional[str] = None,
         if resolution is not None:
             config = dataclasses.replace(config, sample_size=resolution)
     if use_quant_conv or use_post_quant_conv:
-        # reaches AutoencoderKL's NotImplementedError guard instead of
-        # silently building a no-quant-conv model for an SD-style checkpoint
+        # CLI override: build the SD-style quant convs even when the config
+        # (or the hardcoded FLUX fallback) disables them
         config = dataclasses.replace(config, use_quant_conv=use_quant_conv,
                                      use_post_quant_conv=use_post_quant_conv)
 
@@ -81,8 +81,11 @@ def load_vae_bundle(vae_checkpoint: Optional[str] = None,
         # strict=False with key-diff reporting (the reference's semantics);
         # shape checks run against an abstract init (no compute) and fresh
         # initialization is only paid when keys are actually missing
+        from ..io.safetensors_io import warn_if_quant_convs_missing
+
         abstract = jax.eval_shape(lambda: _init_vae_params(model))
         missing, _ = diff_trees(abstract, loaded, label="VAE ")
+        warn_if_quant_convs_missing(missing)
         if missing:
             print("initializing missing VAE keys fresh (strict=False load)")
             params = merge_into_reference(_init_vae_params(model), loaded)
@@ -222,6 +225,15 @@ class TaggerEngine:
             return None  # backend default
         sub = 8 if jax.default_backend() == "tpu" else 1
         return sub * self.mesh.size
+
+    def pad_multiple(self) -> int:
+        """The resolved batch pad multiple (_pad_batch rounds every batch up
+        to this), public so callers (e.g. the server's warmup) can enumerate
+        exactly the compiled batch shapes this engine produces."""
+        explicit = self._pad_multiple()
+        if explicit:
+            return explicit
+        return 8 if jax.default_backend() == "tpu" else 1
 
     def _place(self, pixels_uint8):
         """Host batch -> device array; sharded P('data') under a mesh (jit

@@ -204,8 +204,25 @@ def load_vae_params(path: str, reference_params: dict | None = None,
     loaded = flax_params_from_torch_state(state)
     if reference_params is None:
         return loaded
-    diff_trees(reference_params, loaded, verbose=verbose, label="VAE ")
+    missing, _ = diff_trees(reference_params, loaded, verbose=verbose,
+                            label="VAE ")
+    if verbose:
+        warn_if_quant_convs_missing(missing)
     return merge_into_reference(reference_params, loaded)
+
+
+def warn_if_quant_convs_missing(missing) -> None:
+    """Loud hint for the likeliest silent-corruption case of a strict=False
+    VAE load: a trimmed config JSON omitted the quant flags, so diffusers'
+    defaults (use_quant_conv=True) built convs a FLUX-family checkpoint
+    doesn't have — running with their random init corrupts every latent.
+    Same outcome as the reference's strict=False load, but said loudly."""
+    if any(m and m[0] in ("quant_conv", "post_quant_conv") for m in missing):
+        print("WARNING: the checkpoint has no quant_conv weights but the "
+              "config requests them (use_quant_conv / use_post_quant_conv "
+              "default TRUE when a config JSON omits them, like diffusers). "
+              "If this is a FLUX-family VAE, set both to false in the "
+              "config — randomly-initialized quant convs corrupt latents.")
 
 
 def save_vae_pretrained(params: dict, config: VAEConfig, output_dir: str) -> None:

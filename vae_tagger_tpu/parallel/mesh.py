@@ -33,18 +33,21 @@ def make_mesh(axis_names: Sequence[str] = ("data",),
 
 
 def auto_data_parallel(batch_size: int, enabled: bool = True,
-                       what: str = "inference"):
+                       what: str = "inference", batch_label: str = "batch"):
     """(mesh, scaled_batch) for SPMD data parallelism on multi-device hosts.
 
     One owner for the bootstrap the inference/eval/serving CLIs share:
     single-device hosts (or ``enabled=False`` via ``--no_data_parallel``)
     get (None, batch_size); multi-device hosts get a 1-D data mesh and the
-    batch scaled to at least 8 sublane rows per device."""
+    batch scaled to at least 8 sublane rows per device.  ``batch_label``
+    names the scaled value in the log (serving passes "default max_batch"
+    because an explicit ``--max_batch`` overrides it)."""
     if not enabled or jax.device_count() <= 1:
         return None, batch_size
     mesh = make_mesh()
     scaled = max(batch_size, 8 * mesh.size)
-    print(f"data-parallel {what} over {mesh.size} devices (batch {scaled})")
+    print(f"data-parallel {what} over {mesh.size} devices "
+          f"({batch_label} {scaled})")
     return mesh, scaled
 
 

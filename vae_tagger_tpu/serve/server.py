@@ -284,6 +284,11 @@ def _make_handler(worker: BatchingWorker, engine: TaggerEngine,
             parsed = urllib.parse.urlparse(self.path)
             if parsed.path != "/classify":
                 self._json(404, {"error": "unknown path"})
+                try:  # drain-before-close invariant (see the 413 path)
+                    self._discard_body(
+                        int(self.headers.get("Content-Length", "0")))
+                except ValueError:
+                    pass
                 return
             try:
                 length = int(self.headers.get("Content-Length", "0"))
@@ -366,30 +371,43 @@ class TaggerServer:
                        else tuple(resolution))
         if not resolutions:
             raise ValueError("need at least one resolution")
+        self._bg_warmup = None
         if warmup:
             # compile the padded device-batch program(s) BEFORE accepting
             # requests: first-compile takes minutes through a remote-compile
             # relay, and a cold server would 500 every early request on its
             # submit timeout while discarding the computed batch.  The
             # worker coalesces 1..max_batch requests and the engine pads to
-            # sublane multiples, so EVERY padded shape in that range must be
-            # warmed — a max_batch above the pad multiple otherwise hits a
-            # cold shape on the first large coalesced batch (e.g. 9 requests
-            # -> 16 rows).  On backends that don't pad (multiple 1), warming
-            # the two extremes covers the common shapes without a compile
-            # per batch size.
-            import jax
-
-            mult = (getattr(engine, "_pad_multiple", lambda: None)()
-                    or (8 if jax.default_backend() == "tpu" else 1))
+            # multiples of engine.pad_multiple(), so every shape in that
+            # range can occur.  The two extremes (the smallest padded batch
+            # — what light traffic coalesces to — and the full max_batch)
+            # are warmed EAGERLY before the port binds; any intermediate
+            # multiples warm on a background thread while the server runs,
+            # bounding startup at two compiles per resolution regardless of
+            # max_batch (a request racing an unwarmed intermediate shape
+            # compiles inline — slow once, not a failure).
+            mult = getattr(engine, "pad_multiple", lambda: 1)()
             top = -(-max(1, max_batch) // mult) * mult
             sizes = (list(range(mult, top + 1, mult)) if mult > 1
                      else sorted({1, top}))
+            eager = [s for s in (sizes[0], sizes[-1]) if s][:len(sizes)]
+            eager = sorted(set(eager))
+            rest = [s for s in sizes if s not in eager]
             for r in resolutions:
-                for b in sizes:
+                for b in eager:
                     print(f"warming up the {r}px batch-{b} classify "
                           f"program ...")
                     engine.classify(np.zeros((b, r, r, 3), dtype=np.uint8))
+            if rest:
+                def _warm_rest():
+                    for r in resolutions:
+                        for b in rest:
+                            engine.classify(
+                                np.zeros((b, r, r, 3), dtype=np.uint8))
+
+                self._bg_warmup = threading.Thread(
+                    target=_warm_rest, daemon=True, name="tagger-warmup")
+                self._bg_warmup.start()
         self.worker = BatchingWorker(engine, max_batch, batch_timeout_ms,
                                      request_timeout_s, max_queue=max_queue)
         handler = _make_handler(self.worker, engine, resolutions, threshold,
