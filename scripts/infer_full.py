@@ -47,6 +47,12 @@ def main():
     parser.add_argument("--no_data_parallel", action="store_true",
                         help="disable automatic SPMD sharding of inference "
                              "batches across all local devices")
+    parser.add_argument("--spatial_parallel", action="store_true",
+                        help="latency mode: shard each image's HEIGHT over "
+                             "all local devices instead of the batch, so a "
+                             "single image runs ~N-times faster on N chips "
+                             "(TPU extension; resolution must be divisible "
+                             "by 8 x device_count)")
     parser.add_argument("--mixed_precision", type=str, default=None)
     add_attention_args(parser)
     parser.add_argument("--model_checkpoint", type=str, default=None,
@@ -63,13 +69,20 @@ def main():
                                    or args.model_checkpoint)
 
     from vae_tagger_tpu.infer import TaggerEngine, infer_and_classify
-    from vae_tagger_tpu.parallel.mesh import auto_data_parallel
+    from vae_tagger_tpu.parallel.mesh import auto_data_parallel, make_mesh
 
     # data-parallel inference by default on multi-device hosts: params
     # replicate, batches shard P('data') (reference parity: accelerate
-    # launch multi-GPU inference)
-    mesh, batch_size = auto_data_parallel(args.batch_size,
-                                          not args.no_data_parallel)
+    # launch multi-GPU inference).  --spatial_parallel instead shards the
+    # image height ('model' axis) — all chips cooperate on each image.
+    import jax
+
+    spatial = args.spatial_parallel and jax.device_count() > 1
+    if spatial:
+        mesh, batch_size = None, args.batch_size
+    else:
+        mesh, batch_size = auto_data_parallel(args.batch_size,
+                                              not args.no_data_parallel)
 
     engine = TaggerEngine.load(
         vae_checkpoint=args.vae_checkpoint,
@@ -81,6 +94,10 @@ def main():
         mixed_precision=args.mixed_precision,
         mesh=mesh,
     )
+    if spatial:
+        engine = engine.with_spatial_mesh(make_mesh(("model",)))
+        print(f"spatial-parallel inference over {jax.device_count()} "
+              f"devices (image height sharded; latency mode)")
     infer_and_classify(
         engine, args.image_path, output_dir=args.output_dir,
         resolution=args.resolution,

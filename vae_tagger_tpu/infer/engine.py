@@ -14,6 +14,7 @@ sin on accelerators (SURVEY.md §3 hot-loop summary).  The engine here:
 
 from __future__ import annotations
 
+import contextlib
 import dataclasses
 import os
 from functools import partial
@@ -134,6 +135,10 @@ class TaggerEngine:
     tag_names: list
     policy: Policy = Policy()
     mesh: Optional[object] = None  # jax.sharding.Mesh
+    # spatial (latency-mode) partitioning: name of the mesh axis the image
+    # H dimension is sharded over (None = throughput-mode data parallelism)
+    spatial_axis: Optional[str] = None
+    batch_axis: Optional[str] = "data"
 
     @classmethod
     def load(cls, vae_checkpoint: str, decoder_checkpoint: str,
@@ -179,7 +184,37 @@ class TaggerEngine:
         from ..parallel.mesh import replicate
 
         return dataclasses.replace(
-            self, mesh=mesh,
+            self, mesh=mesh, spatial_axis=None,
+            vae_params=replicate(self.vae_params, mesh),
+            decoder_variables=replicate(self.decoder_variables, mesh))
+
+    def with_spatial_mesh(self, mesh, spatial_axis: str = "model",
+                          batch_axis: Optional[str] = None) -> "TaggerEngine":
+        """A copy of this engine that shards the image HEIGHT over
+        ``spatial_axis`` — latency-mode parallelism.
+
+        ``with_mesh`` (data parallelism) scales throughput but a single
+        image still runs on one chip; here GSPMD spatially partitions the
+        conv stack (halo exchanges for the 3x3 windows), the GroupNorm
+        reductions become psums, and the mid-block attention all-gathers
+        K/V — so one image's encode drops to ~1/n per chip.  The reference
+        has no equivalent (Accelerate DDP is data-parallel only).
+
+        ``batch_axis`` optionally shards the batch too (2-D latency x
+        throughput mesh); default: the mesh's ``data`` axis when present.
+        Traces force the XLA kernel path — hand-written Pallas kernels do
+        not compose with GSPMD-sharded operands (docs/PERF.md records the
+        flash-attention tradeoff this implies at 16k tokens).
+        """
+        from ..parallel.mesh import replicate
+
+        if spatial_axis not in mesh.axis_names:
+            raise ValueError(f"mesh has no axis {spatial_axis!r} "
+                             f"(axes: {mesh.axis_names})")
+        if batch_axis is None and "data" in mesh.axis_names:
+            batch_axis = "data"
+        return dataclasses.replace(
+            self, mesh=mesh, spatial_axis=spatial_axis, batch_axis=batch_axis,
             vae_params=replicate(self.vae_params, mesh),
             decoder_variables=replicate(self.decoder_variables, mesh))
 
@@ -223,6 +258,11 @@ class TaggerEngine:
     def _pad_multiple(self) -> Optional[int]:
         if self.mesh is None:
             return None  # backend default
+        if self.spatial_axis is not None:
+            # latency mode: the batch is NOT spread over the spatial axis, so
+            # it only needs to divide the batch axis; padding a lone image up
+            # to 8 sublane rows would multiply its latency, not hide it
+            return self.mesh.shape[self.batch_axis] if self.batch_axis else 1
         sub = 8 if jax.default_backend() == "tpu" else 1
         return sub * self.mesh.size
 
@@ -236,13 +276,44 @@ class TaggerEngine:
         return 8 if jax.default_backend() == "tpu" else 1
 
     def _place(self, pixels_uint8):
-        """Host batch -> device array; sharded P('data') under a mesh (jit
-        then compiles SPMD from the committed input sharding)."""
+        """Host batch -> device array; sharded under a mesh (jit then
+        compiles SPMD from the committed input sharding): P('data') in
+        throughput mode, P(batch_axis, spatial_axis) over (B, H) in
+        latency mode."""
         if self.mesh is None:
             return jnp.asarray(pixels_uint8)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        if self.spatial_axis is not None:
+            n = self.mesh.shape[self.spatial_axis]
+            h = pixels_uint8.shape[1]
+            # require the LATENT grid (H / 2^(stages-1)) to split evenly so
+            # every stage keeps whole rows per shard (all bucket dims are
+            # multiples of 64, so 1024px over 8 chips is 128/16 rows/chip)
+            down = 2 ** (len(self.vae.config.block_out_channels) - 1)
+            if h % (down * n) != 0:
+                raise ValueError(
+                    f"spatial parallelism needs H divisible by "
+                    f"{down * n} (downsample {down} x {n} shards), got {h}")
+            spec = P(self.batch_axis, self.spatial_axis)
+            return jax.device_put(pixels_uint8, NamedSharding(self.mesh, spec))
         from ..parallel.mesh import batch_sharding
 
         return jax.device_put(pixels_uint8, batch_sharding(self.mesh))
+
+    def _trace_backend(self):
+        """Kernel-dispatch context for jit traces of this engine's programs.
+
+        Spatial mode forces the XLA op path at trace time: Pallas kernels
+        (flash attention, GN+SiLU) cannot be partitioned by GSPMD, and the
+        spatially-sharded mid-block sequence per chip is short enough that
+        XLA attention is the measured-right choice anyway (S=16384/8 = 2048
+        local rows < the 4608 flash crossover, ops/attention.py)."""
+        if self.spatial_axis is None:
+            return contextlib.nullcontext()
+        from ..ops import backend
+
+        return backend.backend("xla")
 
     def encode_async(self, pixels_uint8: np.ndarray):
         """Dispatch the encode without fetching: (device_latents, count).
@@ -250,7 +321,8 @@ class TaggerEngine:
         Same contract as classify_async — the caller flattens/serializes the
         previous batch while this one runs on the device."""
         px, b = self._pad_batch(pixels_uint8, self._pad_multiple())
-        return self._encode_fn(self.vae_params, self._place(px)), b
+        with self._trace_backend():
+            return self._encode_fn(self.vae_params, self._place(px)), b
 
     def encode(self, pixels_uint8: np.ndarray) -> np.ndarray:
         """(B, H, W, 3) uint8 -> (B, h, w, C) scaled/shifted latents."""
@@ -270,14 +342,16 @@ class TaggerEngine:
         when it actually needs the numbers (used by infer/classify.py to
         keep one batch in flight)."""
         px, b = self._pad_batch(pixels_uint8, self._pad_multiple())
-        _, probs = self._encode_classify_fn(
-            self.vae_params, self.decoder_variables, self._place(px))
+        with self._trace_backend():
+            _, probs = self._encode_classify_fn(
+                self.vae_params, self.decoder_variables, self._place(px))
         return probs, b
 
     def encode_and_classify(self, pixels_uint8: np.ndarray):
         px, b = self._pad_batch(pixels_uint8, self._pad_multiple())
-        latents, probs = self._encode_classify_fn(
-            self.vae_params, self.decoder_variables, self._place(px))
+        with self._trace_backend():
+            latents, probs = self._encode_classify_fn(
+                self.vae_params, self.decoder_variables, self._place(px))
         return np.asarray(latents)[:b], np.asarray(probs)[:b]
 
     def get_attention_maps(self, pixels_uint8: np.ndarray) -> dict:
@@ -290,10 +364,11 @@ class TaggerEngine:
         from ..models.taggers import get_attention_maps
 
         px, b = self._pad_batch(pixels_uint8, self._pad_multiple())
-        latents = self._encode_fn(self.vae_params, self._place(px))
-        maps = get_attention_maps(
-            self.decoder, self.decoder_variables,
-            latents.astype(self.policy.compute_dtype))
+        with self._trace_backend():
+            latents = self._encode_fn(self.vae_params, self._place(px))
+            maps = get_attention_maps(
+                self.decoder, self.decoder_variables,
+                latents.astype(self.policy.compute_dtype))
         return {k: np.asarray(v)[:b] for k, v in maps.items()}
 
     def get_confidence(self, pixels_uint8: np.ndarray):

@@ -24,12 +24,22 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(axis_names: Sequence[str] = ("data",),
-              devices: Optional[Sequence] = None) -> Mesh:
-    """1-D data mesh over all (or the given) devices."""
+              devices: Optional[Sequence] = None,
+              shape: Optional[Sequence[int]] = None) -> Mesh:
+    """Device mesh over all (or the given) devices.
+
+    1-D by default (throughput data parallelism); pass e.g.
+    ``axis_names=("data", "model"), shape=(2, 4)`` for the 2-D
+    throughput x latency mesh ``TaggerEngine.with_spatial_mesh`` consumes
+    (batch on ``data``, image height on ``model``)."""
     devices = list(devices) if devices is not None else jax.devices()
-    if len(axis_names) != 1:
-        raise NotImplementedError("only a 1-D mesh is defined today")
-    return Mesh(np.asarray(devices), tuple(axis_names))
+    if len(axis_names) == 1:
+        return Mesh(np.asarray(devices), tuple(axis_names))
+    if shape is None or len(shape) != len(axis_names):
+        raise ValueError("a multi-axis mesh needs an explicit shape, one "
+                         f"extent per axis name {tuple(axis_names)}")
+    return Mesh(np.asarray(devices).reshape(tuple(shape)),
+                tuple(axis_names))
 
 
 def auto_data_parallel(batch_size: int, enabled: bool = True,
