@@ -113,3 +113,76 @@ def test_indivisible_height_is_rejected(spatial, rng):
 def test_missing_axis_is_rejected(engine):
     with pytest.raises(ValueError, match="no axis"):
         engine.with_spatial_mesh(make_mesh(("data",)))
+
+
+def _tiny_full_state_and_steps():
+    import optax
+
+    from vae_tagger_tpu.losses.combined import LossConfig
+    from vae_tagger_tpu.train.state import TrainState
+    from vae_tagger_tpu.train.steps import make_full_steps
+    from vae_tagger_tpu.train.train_decoder import _init_decoder_variables
+
+    model = AutoencoderKL(CFG)
+    params = jax.jit(model.init)({"params": jax.random.key(0)},
+                                 jnp.zeros((1, 64, 64, 3)),
+                                 jax.random.key(1))["params"]
+    decoder = build_decoder(5, use_attention=True, latent_channels=16)
+    variables = _init_decoder_variables(decoder, 16)
+
+    def fresh_state():
+        # SGD, not Adam: params with mathematically-zero gradients (e.g. a
+        # conv bias feeding BatchNorm) would have Adam normalize sharded
+        # reduction noise into sign-random +-lr updates; SGD keeps updates
+        # proportional to gradients so the parity comparison is meaningful
+        tx = optax.sgd(1e-2)
+        p = jax.tree.map(jnp.array, {"vae": params,
+                                     "decoder": variables["params"]})
+        return TrainState.create(p, tx,
+                                 batch_stats=jax.tree.map(
+                                     jnp.array,
+                                     variables.get("batch_stats")))
+
+    steps = make_full_steps(model, decoder, LossConfig(use_focal_loss=True),
+                            use_simplified=True, force_xla_kernels=True)
+    return fresh_state, steps
+
+
+def test_spatial_train_step_matches_single_device(rng):
+    """One train_full step with pixels height-sharded over ('model',) must
+    produce the same loss and parameter update as the unsharded step (the
+    wiring behind train_full --spatial_parallel)."""
+    from vae_tagger_tpu.parallel.mesh import replicate, shard_batch_spatial
+
+    fresh_state, (train_step, _) = _tiny_full_state_and_steps()
+    batch = {
+        "anchor": rng.integers(0, 256, (2, 64, 64, 3), dtype=np.uint8),
+        "positive": rng.integers(0, 256, (2, 64, 64, 3), dtype=np.uint8),
+        "negative": rng.integers(0, 256, (2, 64, 64, 3), dtype=np.uint8),
+        "labels": rng.random((2, 5)).astype(np.float32),
+        "positive_labels": rng.random((2, 5)).astype(np.float32),
+    }
+    key = jax.random.key(7)
+
+    ref_state, ref_metrics = train_step(fresh_state(), batch, key)
+
+    mesh = make_mesh(("model",))
+    sp_state = replicate(fresh_state(), mesh)
+    sp_batch = shard_batch_spatial(batch, mesh)
+    sp_state, sp_metrics = train_step(sp_state, sp_batch, key)
+
+    np.testing.assert_allclose(float(sp_metrics["loss"]),
+                               float(ref_metrics["loss"]), rtol=1e-5)
+    ref_leaves = jax.tree.leaves(jax.device_get(ref_state.params))
+    sp_leaves = jax.tree.leaves(jax.device_get(sp_state.params))
+    for a, b in zip(ref_leaves, sp_leaves):
+        np.testing.assert_allclose(b, a, rtol=1e-4, atol=1e-6)
+
+
+def test_spatial_batch_rejects_indivisible_height(rng):
+    from vae_tagger_tpu.parallel.mesh import shard_batch_spatial
+
+    mesh = make_mesh(("model",))
+    batch = {"anchor": rng.integers(0, 256, (2, 36, 36, 3), dtype=np.uint8)}
+    with pytest.raises(ValueError, match="divisible"):
+        shard_batch_spatial(batch, mesh)

@@ -92,6 +92,38 @@ def shard_batch(batch: dict, mesh: Mesh, axis: str = "data") -> dict:
     return jax.tree.map(place, batch)
 
 
+def shard_batch_spatial(batch: dict, mesh: Mesh,
+                        spatial_axis: str = "model") -> dict:
+    """Place a batch with image HEIGHTS sharded over ``spatial_axis``.
+
+    Latency-mode training (train_full --spatial_parallel): image tensors
+    (ndim >= 3, NHWC) shard P(None, spatial_axis) so every device works on
+    a horizontal slab of each sample — GSPMD inserts conv halo exchanges
+    and GroupNorm psums; labels/masks/scalars replicate (the batch axis is
+    NOT sharded).  Single-controller only: a spatial shard of one image
+    cannot be assembled from per-process loader slices.
+    """
+    if jax.process_count() != 1:
+        raise NotImplementedError(
+            "spatial batch sharding is single-controller (one process "
+            "driving all chips); use data parallelism across processes")
+    n = mesh.shape[spatial_axis]
+
+    def place(x):
+        x = np.asarray(x)
+        if x.ndim >= 3:
+            if x.shape[1] % n:
+                raise ValueError(
+                    f"spatial sharding needs the height ({x.shape[1]}) "
+                    f"divisible by the {spatial_axis!r} axis extent {n}")
+            spec = P(None, spatial_axis)
+        else:
+            spec = P()
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree.map(place, batch)
+
+
 def replicate(tree, mesh: Mesh):
     """Device-put a pytree fully replicated on the mesh."""
     sharding = replicated_sharding(mesh)

@@ -19,7 +19,22 @@ import numpy as np
 
 from ..data.dataset import TaggedImageDataset
 from ..data.loader import DataLoader, train_val_split
-from ..parallel.mesh import is_main_process, make_mesh, shard_batch
+from ..parallel.mesh import (
+    is_main_process,
+    make_mesh,
+    shard_batch,
+    shard_batch_spatial,
+)
+
+
+def spatial_parallel_enabled(args) -> bool:
+    """True when this run spatially partitions each image over all devices
+    (train_full --spatial_parallel): the mesh axis becomes 'model', the
+    global batch is NOT multiplied by device_count, and batches place via
+    shard_batch_spatial.  Single-device hosts fall back to the normal path
+    (nothing to shard)."""
+    return (bool(getattr(args, "spatial_parallel", False))
+            and jax.device_count() > 1)
 from ..utils.pipelining import OneInFlight
 
 
@@ -41,7 +56,10 @@ def build_dataset_and_loaders(args, return_triplets: bool):
     # sampler then makes identical global batching decisions everywhere and
     # each process loads only its slice of every global batch (loader.py) —
     # equal batch counts and matching shapes across hosts by construction.
-    global_batch = args.train_batch_size * jax.device_count()
+    # Spatial-parallel runs shard each image's HEIGHT, not the batch, so
+    # the batch is NOT multiplied by device_count.
+    data_ways = 1 if spatial_parallel_enabled(args) else jax.device_count()
+    global_batch = args.train_batch_size * data_ways
     # Transparent sub-8 padding: TPU packs the batch dimension into 8-wide
     # sublanes and off-multiple batches measured ~3x lower throughput per
     # pixel on v5e (the reference's presets train at bs 2-4,
@@ -55,7 +73,7 @@ def build_dataset_and_loaders(args, return_triplets: bool):
     # outweighs the ~3x sublane penalty (measured: bs4->8 @512px cuts a
     # train_decoder step 116->101 ms), and padding the 1024px bs1 remat
     # preset 8x would not even fit in HBM.
-    pad_multiple = (8 * jax.device_count()
+    pad_multiple = (8 * data_ways
                     if jax.default_backend() == "tpu"
                     and args.train_batch_size >= 4
                     and args.train_batch_size % 8 else None)
@@ -125,7 +143,8 @@ class EpochLoop:
         self.on_best = on_best
         self.on_periodic = on_periodic
         self.log_metric_keys = log_metric_keys
-        self.mesh = make_mesh()
+        self.spatial = spatial_parallel_enabled(args)
+        self.mesh = make_mesh(("model",)) if self.spatial else make_mesh()
         # optax.MultiSteps advances the inner schedule only every k-th
         # micro-batch; log the LR the optimizer actually uses
         self.grad_accum = max(1, getattr(args, "gradient_accumulation_steps",
@@ -152,7 +171,8 @@ class EpochLoop:
             # sums would diverge and deadlock collective checkpointing)
             n_real = int(batch.pop("global_real_count",
                                    batch["labels"].shape[0]))
-            batch = shard_batch(batch, self.mesh)
+            batch = (shard_batch_spatial(batch, self.mesh) if self.spatial
+                     else shard_batch(batch, self.mesh))
             if prev is not None:
                 yield prev
             prev = (batch, n_real)

@@ -21,6 +21,7 @@ final partial batch only — same samples, compiled shapes.
 
 from __future__ import annotations
 
+import contextlib
 from functools import partial
 from typing import Optional
 
@@ -146,6 +147,21 @@ def _triplet_posterior(vae: AutoencoderKL, vae_params, batch, compute_dtype,
     return DiagonalGaussian(
         mean=jnp.concatenate([m for m, _ in parts], axis=0),
         logvar=jnp.concatenate([lv for _, lv in parts], axis=0))
+
+
+def _kernel_ctx(force_xla: bool, training: bool):
+    """Trace-time kernel-dispatch context for a step body.
+
+    force_xla=True routes every op to the XLA path — required under
+    spatial (height-sharded) parallelism, where GSPMD cannot partition
+    hand-written Pallas kernels.  Otherwise gradient-carrying traces use
+    training_trace() (the measured training flash-attention crossover)
+    and eval traces keep the forward policy."""
+    if force_xla:
+        from ..ops import backend
+
+        return backend.backend("xla")
+    return training_trace() if training else contextlib.nullcontext()
 
 
 def _decoder_forward(decoder, params, batch_stats, latents, *, train, rng):
@@ -291,7 +307,8 @@ def make_vae_steps(vae: AutoencoderKL, cfg: LossConfig,
 def make_full_steps(vae: AutoencoderKL, decoder, cfg: LossConfig,
                     use_simplified: bool = True, adaptive_module=None,
                     cb_weights=None, compute_dtype=jnp.float32,
-                    checkpoint_encode: bool = False):
+                    checkpoint_encode: bool = False,
+                    force_xla_kernels: bool = False):
     """Params tree: {'vae': ..., 'decoder': ..., ['adaptive': ...]}."""
 
     def forward_losses(params, batch_stats, batch, rng, *, train):
@@ -350,7 +367,8 @@ def make_full_steps(vae: AutoencoderKL, decoder, cfg: LossConfig,
     def train_step(state, batch, rng):
         # trace-time context: see ops/attention.py::training_trace — the
         # attention backward shifts the measured flash crossover to S>=4096
-        with training_trace():
+        # (or _kernel_ctx forces the XLA path under spatial parallelism)
+        with _kernel_ctx(force_xla_kernels, training=True):
             (_, (metrics, new_stats, _)), grads = jax.value_and_grad(
                 lambda p: forward_losses(p, state.batch_stats, batch, rng,
                                          train=True),
@@ -360,8 +378,9 @@ def make_full_steps(vae: AutoencoderKL, decoder, cfg: LossConfig,
 
     @jax.jit
     def eval_step(state, batch, rng):
-        _, (metrics, _, probs) = forward_losses(
-            state.params, state.batch_stats, batch, rng, train=False)
+        with _kernel_ctx(force_xla_kernels, training=False):
+            _, (metrics, _, probs) = forward_losses(
+                state.params, state.batch_stats, batch, rng, train=False)
         metrics["probs"] = probs
         return metrics
 

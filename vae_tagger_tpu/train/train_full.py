@@ -34,8 +34,13 @@ from ..parallel.mesh import (
     make_mesh,
     replicate,
     shard_batch,
+    shard_batch_spatial,
 )
-from .loop import EpochLoop, build_dataset_and_loaders
+from .loop import (
+    EpochLoop,
+    build_dataset_and_loaders,
+    spatial_parallel_enabled,
+)
 from .schedule import build_lr_schedule
 from .state import TrainState, build_optimizer
 from .steps import make_full_steps
@@ -56,6 +61,23 @@ def train_full(args):
         use_post_quant_conv=getattr(args, "use_post_quant_conv", False))
     print(f"VAE latent info: "
           f"{get_vae_latent_info(args.resolution, vae.config.latent_channels, vae.config.downsample_factor)}")
+
+    # --spatial_parallel: shard each image's HEIGHT over all devices (the
+    # 1024px bs1 preset cannot data-parallelize — this is its scaling axis)
+    spatial = spatial_parallel_enabled(args)
+    if spatial:
+        n = jax.device_count()
+        need = vae.config.downsample_factor * n
+        dims = ([args.base_resolution, args.bucket_step]
+                if args.use_bucketing else [args.resolution])
+        bad = [d for d in dims if d % need]
+        if bad:
+            raise ValueError(
+                f"--spatial_parallel over {n} devices needs resolutions "
+                f"divisible by {need} (downsample "
+                f"{vae.config.downsample_factor} x {n} shards); got {bad}")
+        print(f"spatial-parallel training over {n} devices "
+              f"(image height sharded; batch NOT multiplied)")
 
     dataset, train_loader, val_loader = build_dataset_and_loaders(
         args, return_triplets=True)
@@ -115,14 +137,15 @@ def train_full(args):
                          args.gradient_accumulation_steps)
     state = TrainState.create(params, tx, batch_stats=batch_stats)
 
-    mesh = make_mesh()
+    mesh = make_mesh(("model",)) if spatial else make_mesh()
     state = replicate(state, mesh)
 
     train_step, eval_step = make_full_steps(
         vae, decoder, cfg, use_simplified=args.use_simplified_loss,
         adaptive_module=adaptive_module, cb_weights=cb_weights,
         compute_dtype=policy.compute_dtype,
-        checkpoint_encode=getattr(args, "remat", False))
+        checkpoint_encode=getattr(args, "remat", False),
+        force_xla_kernels=spatial)
     base_rng = jax.random.key(args.seed or 0)
 
     def run_train(state, batch, global_step):
@@ -204,8 +227,13 @@ def train_full(args):
 
     def predict_fn(batch):
         pixels = batch.get("pixel_values", batch["anchor"])
-        sb = shard_batch({"pixel_values": pixels}, mesh)  # only what's used
-        return _predict(state.params, state.batch_stats, sb["pixel_values"])
+        sb = ((shard_batch_spatial if spatial else shard_batch)
+              ({"pixel_values": pixels}, mesh))  # only what's used
+        from .steps import _kernel_ctx
+
+        with _kernel_ctx(spatial, training=False):
+            return _predict(state.params, state.batch_stats,
+                            sb["pixel_values"])
 
     # ONE val inference pass shared by threshold search and final eval
     # (the reference runs two back-to-back, evaluation.py:209-222 + 173-200)
