@@ -46,20 +46,34 @@ def main():
     p.add_argument("--no_data_parallel", action="store_true",
                    help="disable automatic SPMD sharding across all local "
                         "devices")
+    p.add_argument("--spatial_parallel", action="store_true",
+                   help="latency mode: shard each image's HEIGHT over all "
+                        "local devices instead of the batch — lone requests "
+                        "run ~N-times faster on N chips at some peak-"
+                        "throughput cost; resolutions must be divisible by "
+                        "8 x device_count")
     p.add_argument("--no_attention", action="store_true")
     p.add_argument("--mixed_precision", type=str, default=None,
                    choices=[None, "no", "fp16", "bf16"])
     args = p.parse_args()
 
+    import jax
+
     from vae_tagger_tpu.infer.engine import TaggerEngine
-    from vae_tagger_tpu.parallel.mesh import auto_data_parallel
+    from vae_tagger_tpu.parallel.mesh import auto_data_parallel, make_mesh
     from vae_tagger_tpu.serve import TaggerServer
 
     # multi-device hosts serve SPMD: one program spanning all chips, batch
-    # sharded P('data'); max_batch below scales to keep every chip fed
-    mesh, default_max_batch = auto_data_parallel(
-        8, not args.no_data_parallel, what="serving",
-        batch_label="default max_batch")
+    # sharded P('data'); max_batch below scales to keep every chip fed.
+    # --spatial_parallel instead shards each image's HEIGHT (latency mode:
+    # a lone request uses every chip; micro-batching still coalesces).
+    spatial = args.spatial_parallel and jax.device_count() > 1
+    if spatial:
+        mesh, default_max_batch = None, 8
+    else:
+        mesh, default_max_batch = auto_data_parallel(
+            8, not args.no_data_parallel, what="serving",
+            batch_label="default max_batch")
 
     engine = TaggerEngine.load(
         mesh=mesh,
@@ -69,6 +83,10 @@ def main():
         vae_config_path=args.vae_config_path,
         use_attention=not args.no_attention,
         mixed_precision=args.mixed_precision)
+    if spatial:
+        engine = engine.with_spatial_mesh(make_mesh(("model",)))
+        print(f"spatial-parallel serving over {jax.device_count()} devices "
+              f"(image height sharded; latency mode)")
     # micro-batch scales with the mesh: 8 sublane rows per device
     max_batch = args.max_batch or default_max_batch
     server = TaggerServer(engine, resolution=tuple(args.resolution),

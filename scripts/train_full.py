@@ -38,13 +38,6 @@ def main():
     add_bucketing_args(parser)
     parser.add_argument("--resume_from", type=str, default=None,
                         help="orbax train-state checkpoint (TPU extension)")
-    parser.add_argument("--spatial_parallel", action="store_true",
-                        help="shard each image's HEIGHT over all local "
-                             "devices instead of the batch (TPU extension): "
-                             "scales small-batch high-resolution configs "
-                             "(e.g. 1024px bs1) that cannot data-"
-                             "parallelize; resolutions must be divisible by "
-                             "8 x device_count")
     args = parser.parse_args()
     if args.no_simplified_loss:
         args.use_simplified_loss = False

@@ -115,6 +115,46 @@ def test_missing_axis_is_rejected(engine):
         engine.with_spatial_mesh(make_mesh(("data",)))
 
 
+def test_spatial_engine_serves_http(engine, spatial):
+    """serve.py --spatial_parallel fronts a height-sharded engine; the HTTP
+    path (decode -> batching worker -> spatial classify) must match the
+    single-device engine per image."""
+    import io
+    import json
+    import urllib.request
+
+    from PIL import Image
+
+    from vae_tagger_tpu.serve import TaggerServer
+
+    def jpeg(seed):
+        r = np.random.default_rng(seed)
+        img = Image.fromarray(r.integers(0, 255, (80, 72, 3), dtype=np.uint8))
+        buf = io.BytesIO()
+        img.save(buf, "JPEG", quality=95)
+        return buf.getvalue()
+
+    with TaggerServer(spatial, resolution=64, threshold=0.0,
+                      host="127.0.0.1", port=0, max_batch=2,
+                      batch_timeout_ms=10) as server:
+        outs = []
+        for i in range(2):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{server.port}/classify",
+                data=jpeg(i), method="POST")
+            with urllib.request.urlopen(req, timeout=120) as r:
+                outs.append(json.load(r))
+
+    from vae_tagger_tpu.data.bucketing import decode_bytes_square
+
+    px = np.stack([decode_bytes_square(jpeg(i), 64) for i in range(2)])
+    ref = engine.classify(px)
+    for i, out in enumerate(outs):
+        got = {t["tag"]: t["confidence"] for t in out["predicted_tags"]}
+        for j, name in enumerate(engine.tag_names):
+            assert abs(got[name] - float(ref[i, j])) <= 1e-3, (i, name)
+
+
 def _tiny_full_state_and_steps():
     import optax
 

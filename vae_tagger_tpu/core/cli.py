@@ -93,6 +93,12 @@ def add_train_args(p: argparse.ArgumentParser, default_lr: float = 1e-4):
                    help="write checkpoints synchronously (TPU extension: "
                    "single-process runs overlap the orbax/safetensors/bin "
                    "writes with the next epoch by default)")
+    p.add_argument("--spatial_parallel", action="store_true",
+                   help="shard each image's HEIGHT over all local devices "
+                   "instead of the batch (TPU extension): scales small-"
+                   "batch high-resolution configs (e.g. 1024px bs1) that "
+                   "cannot data-parallelize; resolutions must be divisible "
+                   "by 8 x device_count")
 
 
 def add_loss_args(p: argparse.ArgumentParser):

@@ -35,6 +35,25 @@ def spatial_parallel_enabled(args) -> bool:
     (nothing to shard)."""
     return (bool(getattr(args, "spatial_parallel", False))
             and jax.device_count() > 1)
+
+
+def validate_spatial_resolutions(args, downsample_factor: int) -> None:
+    """Every trained resolution must split evenly over the spatial shards
+    (H divisible by downsample x device_count, so the latent grid keeps
+    whole rows per shard).  Bucketed runs generate dims base + k*step, so
+    base and step divisible covers every bucket."""
+    n = jax.device_count()
+    need = downsample_factor * n
+    dims = ([args.base_resolution, args.bucket_step]
+            if args.use_bucketing else [args.resolution])
+    bad = [d for d in dims if d % need]
+    if bad:
+        raise ValueError(
+            f"--spatial_parallel over {n} devices needs resolutions "
+            f"divisible by {need} (downsample {downsample_factor} x {n} "
+            f"shards); got {bad}")
+    print(f"spatial-parallel training over {n} devices "
+          f"(image height sharded; batch NOT multiplied)")
 from ..utils.pipelining import OneInFlight
 
 

@@ -186,13 +186,18 @@ def _decoder_forward(decoder, params, batch_stats, latents, *, train, rng):
 # --------------------------------------------------------------------------
 
 def make_decoder_steps(vae: AutoencoderKL, decoder, cfg: LossConfig,
-                       cb_weights=None, compute_dtype=jnp.float32):
+                       cb_weights=None, compute_dtype=jnp.float32,
+                       force_xla_kernels: bool = False):
     def encode(vae_params, pixels_uint8):
-        x = normalize_uint8(pixels_uint8, compute_dtype)
-        posterior = vae.apply({"params": vae_params}, x,
-                              method=AutoencoderKL.encode)
-        return jax.lax.stop_gradient(
-            encode_scaled(posterior.mode(), vae.config)).astype(compute_dtype)
+        # the VAE encode is the only long-sequence/kernel-bearing region of
+        # a decoder step (the head's MHSA is 64 tokens, XLA path always)
+        with _kernel_ctx(force_xla_kernels, training=False):
+            x = normalize_uint8(pixels_uint8, compute_dtype)
+            posterior = vae.apply({"params": vae_params}, x,
+                                  method=AutoencoderKL.encode)
+            return jax.lax.stop_gradient(
+                encode_scaled(posterior.mode(),
+                              vae.config)).astype(compute_dtype)
 
     def _train_body(state, latents, labels, rng):
         def loss_fn(params):
@@ -249,7 +254,8 @@ def make_decoder_steps(vae: AutoencoderKL, decoder, cfg: LossConfig,
 def make_vae_steps(vae: AutoencoderKL, cfg: LossConfig,
                    use_simplified: bool = True,
                    compute_dtype=jnp.float32,
-                   checkpoint_encode: bool = False):
+                   checkpoint_encode: bool = False,
+                   force_xla_kernels: bool = False):
     def forward_losses(vae_params, batch, rng):
         b = batch["anchor"].shape[0]
         posterior = _triplet_posterior(vae, vae_params, batch, compute_dtype,
@@ -285,7 +291,8 @@ def make_vae_steps(vae: AutoencoderKL, cfg: LossConfig,
     def train_step(state, batch, rng):
         # trace-time context: the VAE mid-block attention backward favors
         # the flash kernel one bucket earlier than forward-only dispatch
-        with training_trace():
+        # (or _kernel_ctx forces the XLA path under spatial parallelism)
+        with _kernel_ctx(force_xla_kernels, training=True):
             (_, metrics), grads = jax.value_and_grad(
                 lambda p: forward_losses(p, batch, rng), has_aux=True
             )(state.params)
@@ -294,7 +301,8 @@ def make_vae_steps(vae: AutoencoderKL, cfg: LossConfig,
 
     @jax.jit
     def eval_step(state, batch, rng):
-        _, metrics = forward_losses(state.params, batch, rng)
+        with _kernel_ctx(force_xla_kernels, training=False):
+            _, metrics = forward_losses(state.params, batch, rng)
         return metrics
 
     return train_step, eval_step

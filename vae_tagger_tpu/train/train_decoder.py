@@ -33,8 +33,14 @@ from ..parallel.mesh import (
     make_mesh,
     replicate,
     shard_batch,
+    shard_batch_spatial,
 )
-from .loop import EpochLoop, build_dataset_and_loaders
+from .loop import (
+    EpochLoop,
+    build_dataset_and_loaders,
+    spatial_parallel_enabled,
+    validate_spatial_resolutions,
+)
 from .schedule import build_lr_schedule
 from .state import TrainState, build_optimizer
 from .steps import make_decoder_steps
@@ -59,6 +65,10 @@ def train_decoder(args):
         use_quant_conv=getattr(args, "use_quant_conv", False),
         use_post_quant_conv=getattr(args, "use_post_quant_conv", False))
     print(f"VAE latent info: {get_vae_latent_info(args.resolution, vae.config.latent_channels, vae.config.downsample_factor)}")
+
+    spatial = spatial_parallel_enabled(args)
+    if spatial:
+        validate_spatial_resolutions(args, vae.config.downsample_factor)
 
     dataset, train_loader, val_loader = build_dataset_and_loaders(
         args, return_triplets=False)
@@ -99,12 +109,14 @@ def train_decoder(args):
                          args.gradient_accumulation_steps)
     state = TrainState.create(params, tx, batch_stats=batch_stats)
 
-    mesh = make_mesh()
+    mesh = make_mesh(("model",)) if spatial else make_mesh()
     state = replicate(state, mesh)
     vae_params = replicate(vae_params, mesh)
+    place_batch = shard_batch_spatial if spatial else shard_batch
 
     train_step, eval_step = make_decoder_steps(
-        vae, decoder, cfg, cb_weights, compute_dtype=policy.compute_dtype)
+        vae, decoder, cfg, cb_weights, compute_dtype=policy.compute_dtype,
+        force_xla_kernels=spatial)
     base_rng = jax.random.key(args.seed or 0)
 
     # --cache_latents: the frozen VAE makes latents a pure function of the
@@ -141,7 +153,7 @@ def train_decoder(args):
         cached = [latent_cache.get(i) for i in idxs]
         if all(c is not None for c in cached):
             cache_state["hits"] += 1
-            return shard_batch({"x": np.stack(cached)}, mesh)["x"], None
+            return place_batch({"x": np.stack(cached)}, mesh)["x"], None
         cache_state["misses"] += 1
         latents = train_step.encode(vae_params, batch["pixel_values"])
 
@@ -232,7 +244,7 @@ def train_decoder(args):
         # run_eval reuses the warm latent cache (--cache_latents): after
         # epoch 1 every val latent is hot, so the threshold search + final
         # eval below skip the VAE encode entirely (VERDICT r2 weak #3)
-        sb = shard_batch(batch, mesh)
+        sb = place_batch(batch, mesh)
         return run_eval(state, sb, 0)["probs"]
 
     # ONE val inference pass shared by threshold search and final eval

@@ -40,6 +40,7 @@ from .loop import (
     EpochLoop,
     build_dataset_and_loaders,
     spatial_parallel_enabled,
+    validate_spatial_resolutions,
 )
 from .schedule import build_lr_schedule
 from .state import TrainState, build_optimizer
@@ -66,18 +67,7 @@ def train_full(args):
     # 1024px bs1 preset cannot data-parallelize — this is its scaling axis)
     spatial = spatial_parallel_enabled(args)
     if spatial:
-        n = jax.device_count()
-        need = vae.config.downsample_factor * n
-        dims = ([args.base_resolution, args.bucket_step]
-                if args.use_bucketing else [args.resolution])
-        bad = [d for d in dims if d % need]
-        if bad:
-            raise ValueError(
-                f"--spatial_parallel over {n} devices needs resolutions "
-                f"divisible by {need} (downsample "
-                f"{vae.config.downsample_factor} x {n} shards); got {bad}")
-        print(f"spatial-parallel training over {n} devices "
-              f"(image height sharded; batch NOT multiplied)")
+        validate_spatial_resolutions(args, vae.config.downsample_factor)
 
     dataset, train_loader, val_loader = build_dataset_and_loaders(
         args, return_triplets=True)

@@ -23,7 +23,12 @@ from ..parallel.mesh import (
     make_mesh,
     replicate,
 )
-from .loop import EpochLoop, build_dataset_and_loaders
+from .loop import (
+    EpochLoop,
+    build_dataset_and_loaders,
+    spatial_parallel_enabled,
+    validate_spatial_resolutions,
+)
 from .schedule import build_lr_schedule
 from .state import TrainState, build_optimizer
 from .steps import make_vae_steps
@@ -40,6 +45,10 @@ def train_vae(args):
         remat=getattr(args, "remat", False),
         use_quant_conv=getattr(args, "use_quant_conv", False),
         use_post_quant_conv=getattr(args, "use_post_quant_conv", False))
+
+    spatial = spatial_parallel_enabled(args)
+    if spatial:
+        validate_spatial_resolutions(args, vae.config.downsample_factor)
 
     dataset, train_loader, val_loader = build_dataset_and_loaders(
         args, return_triplets=True)
@@ -61,13 +70,14 @@ def train_vae(args):
                          getattr(args, "gradient_accumulation_steps", 1))
     state = TrainState.create(vae_params, tx)
 
-    mesh = make_mesh()
+    mesh = make_mesh(("model",)) if spatial else make_mesh()
     state = replicate(state, mesh)
 
     train_step, eval_step = make_vae_steps(
         vae, cfg, use_simplified=args.use_simplified_vae_loss,
         compute_dtype=policy.compute_dtype,
-        checkpoint_encode=getattr(args, "remat", False))
+        checkpoint_encode=getattr(args, "remat", False),
+        force_xla_kernels=spatial)
     base_rng = jax.random.key(args.seed or 0)
 
     def run_train(state, batch, global_step):
