@@ -53,6 +53,13 @@ def main():
                              "single image runs ~N-times faster on N chips "
                              "(TPU extension; resolution must be divisible "
                              "by 8 x device_count)")
+    parser.add_argument("--transfer_format", type=str, default="rgb",
+                        choices=["rgb", "yuv420"],
+                        help="host->device pixel wire format (TPU "
+                             "extension): yuv420 ships planar 4:2:0 at "
+                             "1.5 B/px (half of RGB) and reconstitutes RGB "
+                             "on device; tags match RGB within "
+                             "chroma-resample noise")
     parser.add_argument("--mixed_precision", type=str, default=None)
     add_attention_args(parser)
     parser.add_argument("--model_checkpoint", type=str, default=None,
@@ -98,13 +105,18 @@ def main():
         engine = engine.with_spatial_mesh(make_mesh(("model",)))
         print(f"spatial-parallel inference over {jax.device_count()} "
               f"devices (image height sharded; latency mode)")
+        if args.transfer_format != "rgb":
+            print("spatial parallelism uses RGB transfer "
+                  "(--transfer_format yuv420 ignored)")
+            args.transfer_format = "rgb"
     infer_and_classify(
         engine, args.image_path, output_dir=args.output_dir,
         resolution=args.resolution,
         confidence_threshold=args.confidence_threshold,
         batch_size=batch_size,
         num_workers=args.num_workers,
-        prefetch_factor=args.prefetch_factor)
+        prefetch_factor=args.prefetch_factor,
+        transfer_format=args.transfer_format)
 
 
 if __name__ == "__main__":

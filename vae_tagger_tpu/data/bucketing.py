@@ -286,6 +286,53 @@ def load_and_transform_image(
     return np.asarray(img, dtype=dtype)
 
 
+def load_and_transform_image_yuv(
+    path,
+    resolution: int,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Decode an image for the YUV transfer path; returns (Y, CbCr) planar
+    4:2:0 uint8 — (res, res) luma + (2, res/2, res/2) chroma, 1.5 B/px.
+
+    Inference-only square/distort transform (the reference's
+    modules.py:136-140 semantics, like :func:`load_and_transform_image`'s
+    square mode).  JPEGs decode straight to YCbCr with no host color
+    conversion and chroma resampled directly to half target
+    (native/decode.cpp); PNG/WebP and PIL fallbacks decode RGB and convert
+    in one extra pass.  The device reconstitutes normalized RGB
+    (ops/image.py::yuv420_to_normalized_rgb).  ``resolution`` must be even.
+    """
+    if resolution % 2:
+        raise ValueError(f"YUV 4:2:0 transfer needs an even resolution, "
+                         f"got {resolution}")
+    try:
+        from .. import native
+    except Exception:
+        native = None
+    data = None
+    try:
+        with open(path, "rb") as f:
+            data = f.read()
+    except (OSError, TypeError):
+        data = None
+    if native is not None and data is not None:
+        try:
+            out = native.decode_image_resize_yuv420(
+                data, resolution, resolution, "distort",
+                quality_factor=_jpeg_quality_factor(), resample="bilinear")
+            if out is not None:
+                return out
+        except Exception:
+            pass
+    rgb = (decode_bytes_square(data, resolution) if data is not None else
+           np.asarray(Image.open(path).convert("RGB").resize(
+               (resolution, resolution), Image.BILINEAR), dtype=np.uint8))
+    if native is not None:
+        return native.rgb_to_yuv420(rgb)
+    from ..ops.image import rgb_to_yuv420_reference
+
+    return rgb_to_yuv420_reference(rgb)
+
+
 def dummy_image(width: int = 512, height: int = 512) -> np.ndarray:
     """Black placeholder for unreadable images (modules.py:717-729)."""
     return np.zeros((height, width, 3), dtype=np.uint8)

@@ -50,13 +50,20 @@ def infer_and_classify(engine: TaggerEngine, image_path: str,
                        output_name: str = "classification_results.json",
                        verbose: bool = True,
                        num_workers: int = 4,
-                       prefetch_factor: int = 2) -> dict:
+                       prefetch_factor: int = 2,
+                       transfer_format: str = "rgb") -> dict:
     """Tag a file or directory of images; writes classification_results.json.
 
     Decode (square resize, like the reference's inference transform —
     bucketing is a training-time feature, infer_full.py:79) runs on a thread
     pool overlapped one batch ahead of the device (see pipeline.py), so
     disk→JSON throughput tracks max(decode, compute) instead of their sum.
+
+    ``transfer_format='yuv420'`` ships planar YUV 4:2:0 to the device (half
+    the bytes; chroma upsample + color conversion fused on device) — tags
+    match the RGB path to within chroma-resample noise (tests/test_yuv.py);
+    the win is host decode + host->device bandwidth, relevant when those —
+    not TPU compute — bound the pipeline.
     """
     image_paths = get_image_paths(image_path)
     if not image_paths:
@@ -84,7 +91,8 @@ def infer_and_classify(engine: TaggerEngine, image_path: str,
 
     pipeline = OneInFlight(finalize)
     for evt in iter_image_batches(image_paths, resolution, batch_size,
-                                  num_workers, prefetch_factor):
+                                  num_workers, prefetch_factor,
+                                  pixel_format=transfer_format):
         if evt[0] == "error":
             errors += 1
             print(f"skipping image {evt[1]}: {evt[2]}")
@@ -92,7 +100,10 @@ def infer_and_classify(engine: TaggerEngine, image_path: str,
         _, batch_paths, block = evt
         n = len(batch_paths)
         block = pad_tail_rows(block, batch_size)  # keep the compiled shape
-        device_probs, _ = engine.classify_async(block)
+        if transfer_format == "yuv420":
+            device_probs, _ = engine.classify_yuv_async(*block)
+        else:
+            device_probs, _ = engine.classify_async(block)
         pipeline.submit(batch_paths, device_probs, n)
     pipeline.flush()
 

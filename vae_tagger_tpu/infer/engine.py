@@ -38,7 +38,7 @@ from ..models.taggers import (
     AttentionClassificationDecoder,
     ClassificationDecoder,
 )
-from ..ops.image import normalize_uint8
+from ..ops.image import normalize_uint8, yuv420_to_normalized_rgb
 
 
 def _init_vae_params(model: AutoencoderKL, sample_hw: int = 32):
@@ -235,6 +235,23 @@ class TaggerEngine:
         probs = jax.nn.sigmoid(logits.astype(jnp.float32))
         return latents, probs
 
+    @partial(jax.jit, static_argnums=0)
+    def _encode_classify_yuv_fn(self, vae_params, decoder_variables,
+                                y_uint8, cbcr_uint8):
+        """Planar YUV 4:2:0 input (half the transfer bytes of RGB): chroma
+        upsample + BT.601 conversion run on device, fused ahead of the
+        encoder (ops/image.py::yuv420_to_normalized_rgb)."""
+        x = yuv420_to_normalized_rgb(y_uint8, cbcr_uint8,
+                                     self.policy.compute_dtype)
+        posterior = self.vae.apply({"params": vae_params}, x,
+                                   method=AutoencoderKL.encode)
+        latents = encode_scaled(posterior.mode(), self.vae.config)
+        logits = self.decoder.apply(
+            decoder_variables, latents.astype(self.policy.compute_dtype),
+            deterministic=True)
+        probs = jax.nn.sigmoid(logits.astype(jnp.float32))
+        return latents, probs
+
     @staticmethod
     def _pad_batch(pixels_uint8: np.ndarray, multiple: Optional[int] = None):
         """Round sub-multiple batches up (zeros appended).
@@ -345,6 +362,26 @@ class TaggerEngine:
         with self._trace_backend():
             _, probs = self._encode_classify_fn(
                 self.vae_params, self.decoder_variables, self._place(px))
+        return probs, b
+
+    def classify_yuv_async(self, y_uint8: np.ndarray,
+                           cbcr_uint8: np.ndarray):
+        """YUV 4:2:0 analogue of :meth:`classify_async`.
+
+        Takes the planar pair from the YUV transfer path — (B, H, W) luma
+        and (B, 2, H/2, W/2) chroma uint8, 1.5 B/px on the wire — and
+        returns (device_probs, real_count).  Not supported in spatial
+        (latency) mode: the H-sharded trace would halo-exchange the chroma
+        upsample for no latency benefit; use RGB transfer there."""
+        if self.spatial_axis is not None:
+            raise NotImplementedError(
+                "YUV transfer is not supported with spatial parallelism")
+        mult = self._pad_multiple()
+        y, b = self._pad_batch(np.asarray(y_uint8), mult)
+        cbcr, _ = self._pad_batch(np.asarray(cbcr_uint8), mult)
+        probs = self._encode_classify_yuv_fn(
+            self.vae_params, self.decoder_variables,
+            self._place(y), self._place(cbcr))[1]
         return probs, b
 
     def encode_and_classify(self, pixels_uint8: np.ndarray):

@@ -21,10 +21,13 @@ from typing import Iterator, Sequence
 
 import numpy as np
 
-from ..data.bucketing import load_and_transform_image
+from ..data.bucketing import (
+    load_and_transform_image,
+    load_and_transform_image_yuv,
+)
 
 
-def pad_tail_rows(block: np.ndarray, rows: int) -> np.ndarray:
+def pad_tail_rows(block, rows: int):
     """Pad a tail batch up to the compiled ``rows`` by repeating the last
     row (results of pad rows are sliced off by the caller).
 
@@ -33,7 +36,12 @@ def pad_tail_rows(block: np.ndarray, rows: int) -> np.ndarray:
     sublane multiple (8 on TPU), so with ``batch_size > 8`` an engine-padded
     tail would be a NEW compiled batch shape — minutes of compile through a
     remote-compile relay for one partial batch.  Repeating to the already
-    compiled shape reuses the hot program."""
+    compiled shape reuses the hot program.
+
+    Accepts either a single array or a tuple of arrays sharing a leading
+    batch dim (the YUV path's (Y, CbCr) pair)."""
+    if isinstance(block, tuple):
+        return tuple(pad_tail_rows(b, rows) for b in block)
     n = block.shape[0]
     if n >= rows:
         return block
@@ -43,26 +51,43 @@ def pad_tail_rows(block: np.ndarray, rows: int) -> np.ndarray:
 
 def iter_image_batches(image_paths: Sequence, resolution: int,
                        batch_size: int, num_workers: int = 4,
-                       prefetch_factor: int = 2) -> Iterator[tuple]:
+                       prefetch_factor: int = 2,
+                       pixel_format: str = "rgb") -> Iterator[tuple]:
     """Decode images on a thread pool, yielding batches a queue ahead.
 
     Yields, in input order:
       ("batch", [paths], (n, H, W, 3) uint8)  with 1 <= n <= batch_size
       ("error", path, exception)              for undecodable images
 
+    With ``pixel_format='yuv420'`` each batch payload is instead the planar
+    pair ((n, H, W) luma, (n, 2, H/2, W/2) chroma) — half the bytes of RGB;
+    the engine reconstitutes RGB on device (classify_yuv_async).
+
     Failed decodes never occupy a batch slot — every yielded batch except
     the last is full (matches the reference's skip-and-continue semantics,
     infer_full.py:99-104).
     """
+    if pixel_format not in ("rgb", "yuv420"):
+        raise ValueError(f"unknown pixel_format {pixel_format!r}")
+    yuv = pixel_format == "yuv420"
     out_q: "queue.Queue" = queue.Queue(maxsize=max(1, prefetch_factor))
     stop = threading.Event()
 
     def load(p):
         try:
+            if yuv:
+                return p, load_and_transform_image_yuv(
+                    str(p), resolution=resolution), None
             return p, load_and_transform_image(str(p),
                                                resolution=resolution), None
         except Exception as e:
             return p, None, e
+
+    def stack(items):
+        if yuv:
+            return (np.stack([t[0] for t in items]),
+                    np.stack([t[1] for t in items]))
+        return np.stack(items)
 
     def safe_put(item) -> bool:
         # never block forever: the consumer may have exited early
@@ -105,10 +130,10 @@ def iter_image_batches(image_paths: Sequence, resolution: int,
                     imgs.append(img)
                     paths.append(str(p))
                     if len(imgs) == batch_size:
-                        if not safe_put(("batch", paths, np.stack(imgs))):
+                        if not safe_put(("batch", paths, stack(imgs))):
                             return
                         imgs, paths = [], []
-            if imgs and not safe_put(("batch", paths, np.stack(imgs))):
+            if imgs and not safe_put(("batch", paths, stack(imgs))):
                 return
             safe_put(None)
         except BaseException as e:  # surface in the consumer, don't hang

@@ -120,6 +120,19 @@ def _load() -> Optional[ctypes.CDLL]:
                 u8p, ctypes.c_int, ctypes.c_int,
                 ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ]
+            if hasattr(lib, "vt_rgb_to_yuv420"):
+                lib.vt_rgb_to_yuv420.restype = ctypes.c_int
+                lib.vt_rgb_to_yuv420.argtypes = [
+                    u8p, ctypes.c_int, ctypes.c_int, u8p, u8p, u8p,
+                ]
+            if hasattr(lib, "vt_jpeg_decode_resize_yuv420"):
+                lib.vt_jpeg_decode_resize_yuv420.restype = ctypes.c_int
+                lib.vt_jpeg_decode_resize_yuv420.argtypes = [
+                    u8p, ctypes.c_size_t, u8p, u8p, u8p,
+                    ctypes.c_int, ctypes.c_int,
+                    ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                    ctypes.c_int, ctypes.c_int,
+                ]
             for fmt, (info_sym, dec_sym) in _DECODERS.items():
                 if not hasattr(lib, dec_sym):
                     continue
@@ -282,6 +295,114 @@ def decode_webp_resize(data: bytes, target_width: int, target_height: int,
     """WebP decode + crop + resize in one native call (alpha dropped)."""
     return _decode_resize("webp", data, target_width, target_height,
                           crop_mode, crop_offset, 0, False, resample)
+
+
+def rgb_to_yuv420(rgb: np.ndarray):
+    """HWC uint8 RGB -> (Y (H, W), CbCr (2, H/2, W/2)) planar 4:2:0.
+
+    BT.601 full-range forward matrix with 2x2 box-averaged chroma (the JFIF
+    convention the device-side reconstitution inverts,
+    ops/image.py::yuv420_to_normalized_rgb).  H and W must be even.  Uses
+    the native converter when built; numpy fallback otherwise (same math,
+    rounding may differ by 1 ULP at .5 boundaries).
+    """
+    rgb = np.ascontiguousarray(rgb, dtype=np.uint8)
+    if rgb.ndim != 3 or rgb.shape[2] != 3:
+        raise ValueError(f"expected (H, W, 3) uint8, got {rgb.shape}")
+    h, w = rgb.shape[:2]
+    if h % 2 or w % 2:
+        raise ValueError(f"YUV 4:2:0 needs even dims, got {h}x{w}")
+    lib = _load()
+    if lib is not None and hasattr(lib, "vt_rgb_to_yuv420"):
+        y = np.empty((h, w), np.uint8)
+        cbcr = np.empty((2, h // 2, w // 2), np.uint8)
+        u8 = ctypes.POINTER(ctypes.c_uint8)
+        rc = lib.vt_rgb_to_yuv420(
+            rgb.ctypes.data_as(u8), h, w, y.ctypes.data_as(u8),
+            cbcr[0].ctypes.data_as(u8), cbcr[1].ctypes.data_as(u8))
+        if rc == 0:
+            return y, cbcr
+    # numpy fallback (identical math; jax-free so the loader can run thin)
+    x = rgb.astype(np.float32)
+    r, g, b = x[..., 0], x[..., 1], x[..., 2]
+    yp = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+
+    def box2(p):
+        return (p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2]
+                + p[1::2, 1::2]) * 0.25
+
+    y = np.clip(np.round(yp), 0, 255).astype(np.uint8)
+    cbcr = np.clip(np.round(np.stack([box2(cb), box2(cr)])), 0,
+                   255).astype(np.uint8)
+    return y, cbcr
+
+
+def decode_jpeg_resize_yuv420(data: bytes, target_width: int,
+                              target_height: int, crop_mode: str = "center",
+                              crop_offset: tuple[int, int] = (0, 0),
+                              quality_factor: int = 2,
+                              resample: str = "lanczos"):
+    """JPEG decode + SmartResize straight to planar YUV 4:2:0.
+
+    Skips libjpeg's YCbCr->RGB conversion and resamples chroma directly to
+    half the target — the host half of the YUV transfer path (1.5 B/px to
+    the device; ops/image.py::yuv420_to_normalized_rgb reconstitutes RGB
+    on device).  Returns (Y (H, W) uint8, CbCr (2, H/2, W/2) uint8), or
+    None when this path does not serve the file (RGB/CMYK JPEGs — caller
+    decodes RGB and converts) or the decoder is not built.  Target dims
+    must be even.  DCT scaling via ``quality_factor`` as in
+    :func:`decode_jpeg_resize`.
+    """
+    lib = _load()
+    if lib is None or not hasattr(lib, "vt_jpeg_decode_resize_yuv420"):
+        return None
+    if target_height % 2 or target_width % 2:
+        raise ValueError(
+            f"YUV 4:2:0 needs even target dims, got "
+            f"{target_height}x{target_width}")
+    buf = (ctypes.c_uint8 * len(data)).from_buffer_copy(data)
+    y = np.empty((target_height, target_width), np.uint8)
+    cbcr = np.empty((2, target_height // 2, target_width // 2), np.uint8)
+    u8 = ctypes.POINTER(ctypes.c_uint8)
+    rc = lib.vt_jpeg_decode_resize_yuv420(
+        buf, len(data), y.ctypes.data_as(u8), cbcr[0].ctypes.data_as(u8),
+        cbcr[1].ctypes.data_as(u8), target_height, target_width,
+        _CROP_MODES.get(crop_mode, 0), crop_offset[0], crop_offset[1],
+        quality_factor, _FILTERS[resample])
+    if rc == 2:
+        return None  # unsupported JPEG colorspace: use the RGB path
+    if rc != 0:
+        raise RuntimeError(f"vt_jpeg_decode_resize_yuv420 failed: {rc}")
+    return y, cbcr
+
+
+def decode_image_resize_yuv420(data: bytes, target_width: int,
+                               target_height: int, crop_mode: str = "center",
+                               crop_offset: tuple[int, int] = (0, 0),
+                               quality_factor: int = 2,
+                               resample: str = "lanczos"):
+    """Any supported format -> planar YUV 4:2:0 (Y, CbCr), or None.
+
+    JPEGs decode straight to YCbCr (no color conversion anywhere on the
+    host); PNG/WebP decode+resize to RGB natively and convert in one extra
+    pass.  None = no native decoder for these bytes (caller decodes via
+    PIL and converts with :func:`rgb_to_yuv420`).
+    """
+    fmt = sniff_format(data)
+    if fmt == "jpeg" and decode_available("jpeg"):
+        out = decode_jpeg_resize_yuv420(data, target_width, target_height,
+                                        crop_mode, crop_offset,
+                                        quality_factor, resample)
+        if out is not None:
+            return out
+        # fall through: exotic-colorspace JPEG via the RGB decoder
+    rgb = decode_image_resize(data, target_width, target_height, crop_mode,
+                              crop_offset, quality_factor, False, resample)
+    if rgb is None:
+        return None
+    return rgb_to_yuv420(rgb)
 
 
 def decode_image_resize(data: bytes, target_width: int, target_height: int,

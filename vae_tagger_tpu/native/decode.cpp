@@ -38,6 +38,10 @@ extern "C" int vt_smart_resize_filter(const uint8_t* src, int src_h,
                                       int src_w, uint8_t* dst, int dst_h,
                                       int dst_w, int crop_mode, int crop_x,
                                       int crop_y, int filter);
+extern "C" int vt_resize_plane(const uint8_t* src, int src_h, int src_w,
+                               int stride, int offset, uint8_t* dst,
+                               int dst_h, int dst_w, int crop_mode,
+                               int crop_x, int crop_y, int filter);
 
 namespace {
 
@@ -179,6 +183,127 @@ int vt_jpeg_decode_resize(const uint8_t* data, size_t len,
   }
   return vt_smart_resize_filter(pixels.data(), dec_h, dec_w, dst, dst_h,
                                 dst_w, crop_mode, cx, cy, filter);
+}
+
+// JPEG decode to planar YUV 4:2:0 + SmartResize, skipping libjpeg's
+// YCbCr->RGB color conversion (the wire format of the YUV transfer path:
+// 1.5 B/px to the device instead of RGB's 3, with the color conversion +
+// chroma upsample fused into the device program,
+// ops/image.py::yuv420_to_normalized_rgb).
+//
+// Output: y_dst (dst_h x dst_w), cb_dst/cr_dst (dst_h/2 x dst_w/2); dst
+// dims must be even.  Decoding stays interleaved (out_color_space
+// JCS_YCbCr = no color transform, chroma upsample only), and each plane is
+// resampled separately — Y at full target, chroma straight to half target,
+// so the chroma resample cost is 1/4 of the RGB path's per-channel cost.
+// Grayscale JPEGs decode as luma with neutral (128) chroma.  DCT-domain
+// scaling applies exactly as in vt_jpeg_decode_resize.
+//
+// Returns 0 ok, 2 = colorspace this path does not serve (CMYK/RGB JPEGs —
+// caller falls back to the RGB decoder + vt_rgb_to_yuv420), <0 error.
+int vt_jpeg_decode_resize_yuv420(const uint8_t* data, size_t len,
+                                 uint8_t* y_dst, uint8_t* cb_dst,
+                                 uint8_t* cr_dst, int dst_h, int dst_w,
+                                 int crop_mode, int crop_x, int crop_y,
+                                 int quality_factor, int filter) {
+  if (!data || len < 4 || !y_dst || !cb_dst || !cr_dst || dst_h <= 0 ||
+      dst_w <= 0 || (dst_h % 2) != 0 || (dst_w % 2) != 0) {
+    return -1;
+  }
+
+  jpeg_decompress_struct cinfo;
+  ErrMgr err;
+  cinfo.err = jpeg_std_error(&err.pub);
+  err.pub.error_exit = err_exit;
+  err.pub.emit_message = silent_emit;
+  std::vector<uint8_t> pixels;  // declared before setjmp use below
+  if (setjmp(err.jb)) {
+    jpeg_destroy_decompress(&cinfo);
+    return -2;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, const_cast<uint8_t*>(data), len);
+  jpeg_read_header(&cinfo, TRUE);
+
+  const int full_w = static_cast<int>(cinfo.image_width);
+  const int full_h = static_cast<int>(cinfo.image_height);
+  if (full_w <= 0 || full_h <= 0) {
+    jpeg_destroy_decompress(&cinfo);
+    return -3;
+  }
+  const bool gray = cinfo.jpeg_color_space == JCS_GRAYSCALE;
+  if (!gray && cinfo.jpeg_color_space != JCS_YCbCr) {
+    jpeg_abort_decompress(&cinfo);
+    jpeg_destroy_decompress(&cinfo);
+    return 2;  // RGB/CMYK JPEG: not worth a separate path; use RGB decode
+  }
+
+  // crop window + DCT scale selection: same math as vt_jpeg_decode_resize
+  const double target_ratio = static_cast<double>(dst_w) / dst_h;
+  const double src_ratio = static_cast<double>(full_w) / full_h;
+  int win_w = full_w, win_h = full_h;
+  if (crop_mode != 3) {
+    if (src_ratio > target_ratio) {
+      win_w = static_cast<int>(full_h * target_ratio);
+    } else if (src_ratio < target_ratio) {
+      win_h = static_cast<int>(full_w / target_ratio);
+    }
+  }
+  if (win_w <= 0 || win_h <= 0) {
+    jpeg_destroy_decompress(&cinfo);
+    return -3;
+  }
+  int m = 8;
+  if (quality_factor > 0) {
+    for (int cand = 1; cand <= 8; ++cand) {
+      if (static_cast<long>(win_w) * cand >= 8L * quality_factor * dst_w &&
+          static_cast<long>(win_h) * cand >= 8L * quality_factor * dst_h) {
+        m = cand;
+        break;
+      }
+    }
+  }
+  cinfo.scale_num = m;
+  cinfo.scale_denom = 8;
+  cinfo.out_color_space = gray ? JCS_GRAYSCALE : JCS_YCbCr;
+  cinfo.dct_method = JDCT_ISLOW;
+
+  jpeg_start_decompress(&cinfo);
+  const int comps = cinfo.output_components;
+  if (comps != (gray ? 1 : 3)) {
+    jpeg_abort_decompress(&cinfo);
+    jpeg_destroy_decompress(&cinfo);
+    return -4;
+  }
+  const int dec_w = static_cast<int>(cinfo.output_width);
+  const int dec_h = static_cast<int>(cinfo.output_height);
+  pixels.resize(static_cast<size_t>(dec_w) * dec_h * comps);
+  while (cinfo.output_scanline < cinfo.output_height) {
+    JSAMPROW row = pixels.data() +
+        static_cast<size_t>(cinfo.output_scanline) * dec_w * comps;
+    jpeg_read_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+
+  int cx = crop_x, cy = crop_y;
+  if (crop_mode == 2 && m != 8) {
+    cx = static_cast<int>(static_cast<long>(crop_x) * dec_w / full_w);
+    cy = static_cast<int>(static_cast<long>(crop_y) * dec_h / full_h);
+  }
+  int rc = vt_resize_plane(pixels.data(), dec_h, dec_w, comps, 0, y_dst,
+                           dst_h, dst_w, crop_mode, cx, cy, filter);
+  if (rc != 0) return rc;
+  if (gray) {
+    std::memset(cb_dst, 128, static_cast<size_t>(dst_h / 2) * (dst_w / 2));
+    std::memset(cr_dst, 128, static_cast<size_t>(dst_h / 2) * (dst_w / 2));
+    return 0;
+  }
+  rc = vt_resize_plane(pixels.data(), dec_h, dec_w, comps, 1, cb_dst,
+                       dst_h / 2, dst_w / 2, crop_mode, cx, cy, filter);
+  if (rc != 0) return rc;
+  return vt_resize_plane(pixels.data(), dec_h, dec_w, comps, 2, cr_dst,
+                         dst_h / 2, dst_w / 2, crop_mode, cx, cy, filter);
 }
 
 #ifdef VT_HAVE_PNG
