@@ -86,16 +86,22 @@ def main():
     payload = _jpeg_payload()
 
     results = {"resolution": RESOLUTION}
-    for label, max_batch in (("micro_batched", 8), ("batch1_ablation", 1)):
+    for label, max_batch, fmt in (("micro_batched", 8, "rgb"),
+                                  ("micro_batched_yuv420", 8, "yuv420"),
+                                  ("batch1_ablation", 1, "rgb")):
         with TaggerServer(engine, resolution=RESOLUTION, threshold=0.0,
                           host="127.0.0.1", port=0, max_batch=max_batch,
                           batch_timeout_ms=10, max_queue=256,
-                          warmup=(label == "micro_batched")) as server:
+                          transfer_format=fmt,
+                          warmup=(max_batch == 8)) as server:
             results[label] = _drive(server, payload)
             print(label, results[label], flush=True)
     results["micro_batching_speedup"] = round(
         results["micro_batched"]["images_per_sec"]
         / results["batch1_ablation"]["images_per_sec"], 2)
+    results["yuv420_speedup"] = round(
+        results["micro_batched_yuv420"]["images_per_sec"]
+        / results["micro_batched"]["images_per_sec"], 2)
 
     out = os.path.join(os.path.dirname(__file__), "report.json")
     report = {}

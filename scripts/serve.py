@@ -53,6 +53,13 @@ def main():
                         "throughput cost; resolutions must be divisible by "
                         "8 x device_count")
     p.add_argument("--no_attention", action="store_true")
+    p.add_argument("--transfer_format", type=str, default="rgb",
+                   choices=["rgb", "yuv420"],
+                   help="host->device pixel wire format: yuv420 ships "
+                        "planar 4:2:0 (half the bytes of RGB; color "
+                        "conversion fused on device) — frees host CPU and "
+                        "transfer bandwidth at a small chroma-resolution "
+                        "cost")
     p.add_argument("--mixed_precision", type=str, default=None,
                    choices=[None, "no", "fp16", "bf16"])
     args = p.parse_args()
@@ -87,6 +94,10 @@ def main():
         engine = engine.with_spatial_mesh(make_mesh(("model",)))
         print(f"spatial-parallel serving over {jax.device_count()} devices "
               f"(image height sharded; latency mode)")
+        if args.transfer_format != "rgb":
+            print("spatial parallelism uses RGB transfer "
+                  "(--transfer_format yuv420 ignored)")
+            args.transfer_format = "rgb"
     # micro-batch scales with the mesh: 8 sublane rows per device
     max_batch = args.max_batch or default_max_batch
     server = TaggerServer(engine, resolution=tuple(args.resolution),
@@ -97,7 +108,8 @@ def main():
                           request_timeout_s=args.request_timeout_s,
                           warmup=not args.no_warmup,
                           max_body_bytes=int(args.max_body_mb * 1024 * 1024),
-                          max_queue=args.max_queue)
+                          max_queue=args.max_queue,
+                          transfer_format=args.transfer_format)
     server.serve_forever()
 
 

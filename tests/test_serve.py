@@ -393,3 +393,34 @@ def test_http_bad_resolution_with_large_body_gets_the_400(engine):
             urllib.request.urlopen(req, timeout=30)
         assert ei.value.code == 400
         assert "not served" in json.load(ei.value)["error"]
+
+
+def test_http_yuv420_transfer_matches_rgb(engine):
+    """A yuv420-transfer server returns the same tag ranking as the RGB
+    server for the same JPEG (confidences within chroma-resample noise)."""
+    data = _jpeg_bytes(seed=7)
+
+    def serve_once(fmt):
+        with TaggerServer(engine, resolution=64, threshold=0.0,
+                          host="127.0.0.1", port=0, max_batch=4,
+                          batch_timeout_ms=5, transfer_format=fmt) as server:
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{server.port}/classify", data=data,
+                method="POST")
+            with urllib.request.urlopen(req, timeout=120) as r:
+                return json.load(r)
+
+    rgb = serve_once("rgb")
+    yuv = serve_once("yuv420")
+    assert set(t["tag"] for t in rgb["predicted_tags"]) == \
+        set(t["tag"] for t in yuv["predicted_tags"])
+    a = {t["tag"]: t["confidence"] for t in rgb["predicted_tags"]}
+    b = {t["tag"]: t["confidence"] for t in yuv["predicted_tags"]}
+    for tag in a:
+        assert abs(a[tag] - b[tag]) < 0.12  # random JPEG = worst-case chroma
+
+
+def test_server_rejects_yuv_with_odd_resolution(engine):
+    with pytest.raises(ValueError):
+        TaggerServer(engine, resolution=63, transfer_format="yuv420",
+                     warmup=False, port=0)

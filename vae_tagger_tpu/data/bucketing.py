@@ -286,6 +286,38 @@ def load_and_transform_image(
     return np.asarray(img, dtype=dtype)
 
 
+def decode_bytes_square_yuv(data: bytes,
+                            resolution: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Raw image bytes -> planar YUV 4:2:0 at the square/distort transform.
+
+    Bytes-level core of the YUV transfer path, shared by the file loader
+    (:func:`load_and_transform_image_yuv`) and the HTTP server.  Returns
+    ((res, res) luma, (2, res/2, res/2) chroma) uint8.  ``resolution`` must
+    be even.  Raises on undecodable bytes."""
+    if resolution % 2:
+        raise ValueError(f"YUV 4:2:0 transfer needs an even resolution, "
+                         f"got {resolution}")
+    try:
+        from .. import native
+    except Exception:
+        native = None
+    if native is not None:
+        try:
+            out = native.decode_image_resize_yuv420(
+                data, resolution, resolution, "distort",
+                quality_factor=_jpeg_quality_factor(), resample="bilinear")
+            if out is not None:
+                return out
+        except Exception:
+            pass
+    rgb = decode_bytes_square(data, resolution)
+    if native is not None:
+        return native.rgb_to_yuv420(rgb)
+    from ..ops.image import rgb_to_yuv420_reference
+
+    return rgb_to_yuv420_reference(rgb)
+
+
 def load_and_transform_image_yuv(
     path,
     resolution: int,
@@ -304,33 +336,24 @@ def load_and_transform_image_yuv(
     if resolution % 2:
         raise ValueError(f"YUV 4:2:0 transfer needs an even resolution, "
                          f"got {resolution}")
-    try:
-        from .. import native
-    except Exception:
-        native = None
     data = None
     try:
         with open(path, "rb") as f:
             data = f.read()
     except (OSError, TypeError):
         data = None
-    if native is not None and data is not None:
-        try:
-            out = native.decode_image_resize_yuv420(
-                data, resolution, resolution, "distort",
-                quality_factor=_jpeg_quality_factor(), resample="bilinear")
-            if out is not None:
-                return out
-        except Exception:
-            pass
-    rgb = (decode_bytes_square(data, resolution) if data is not None else
-           np.asarray(Image.open(path).convert("RGB").resize(
-               (resolution, resolution), Image.BILINEAR), dtype=np.uint8))
-    if native is not None:
-        return native.rgb_to_yuv420(rgb)
-    from ..ops.image import rgb_to_yuv420_reference
+    if data is not None:
+        return decode_bytes_square_yuv(data, resolution)
+    rgb = np.asarray(Image.open(path).convert("RGB").resize(
+        (resolution, resolution), Image.BILINEAR), dtype=np.uint8)
+    try:
+        from .. import native
 
-    return rgb_to_yuv420_reference(rgb)
+        return native.rgb_to_yuv420(rgb)
+    except Exception:
+        from ..ops.image import rgb_to_yuv420_reference
+
+        return rgb_to_yuv420_reference(rgb)
 
 
 def dummy_image(width: int = 512, height: int = 512) -> np.ndarray:

@@ -43,7 +43,7 @@ from typing import Dict, Optional, Sequence, Tuple
 
 import numpy as np
 
-from ..data.bucketing import decode_bytes_square
+from ..data.bucketing import decode_bytes_square, decode_bytes_square_yuv
 from ..infer.classify import _format_results
 from ..infer.engine import TaggerEngine
 
@@ -74,8 +74,10 @@ class BatchingWorker:
     def __init__(self, engine: TaggerEngine, max_batch: int = 8,
                  batch_timeout_ms: float = 10.0,
                  request_timeout_s: float = 600.0,
-                 max_queue: int = 64):
+                 max_queue: int = 64,
+                 transfer_format: str = "rgb"):
         self.engine = engine
+        self.transfer_format = transfer_format
         self.max_batch = max(1, max_batch)
         self.timeout_s = max(0.0, batch_timeout_ms) / 1000.0
         self.request_timeout_s = request_timeout_s
@@ -91,14 +93,17 @@ class BatchingWorker:
                                        name="tagger-batcher")
         self.thread.start()
 
-    def submit(self, pixels: np.ndarray,
+    def submit(self, pixels,
                timeout: Optional[float] = None) -> np.ndarray:
-        """(H, W, 3) uint8 -> (num_tags,) probabilities.  Blocking.
+        """One decoded image -> (num_tags,) probabilities.  Blocking.
 
-        Raises QueueFullError immediately when max_queue requests are
-        already pending (callers translate to 503)."""
+        ``pixels`` is (H, W, 3) uint8 in RGB mode, or the planar
+        (Y, CbCr) pair in YUV mode (decode_bytes_square_yuv).  Raises
+        QueueFullError immediately when max_queue requests are already
+        pending (callers translate to 503)."""
         item = _Pending(pixels)
-        shape = tuple(pixels.shape)
+        shape = (tuple(pixels[0].shape) if isinstance(pixels, tuple)
+                 else tuple(pixels.shape))
         with self._cond:
             if self._stop:
                 raise RuntimeError("server is shutting down")
@@ -207,8 +212,13 @@ class BatchingWorker:
             dispatched = None
             if batch:
                 try:
-                    probs, n = self.engine.classify_async(
-                        np.stack([b.pixels for b in batch]))
+                    if self.transfer_format == "yuv420":
+                        probs, n = self.engine.classify_yuv_async(
+                            np.stack([b.pixels[0] for b in batch]),
+                            np.stack([b.pixels[1] for b in batch]))
+                    else:
+                        probs, n = self.engine.classify_async(
+                            np.stack([b.pixels for b in batch]))
                     dispatched = (batch, probs, n)
                 except Exception as e:  # dispatch failed: fail this batch
                     for item in batch:
@@ -235,7 +245,7 @@ class BatchingWorker:
 
 def _make_handler(worker: BatchingWorker, engine: TaggerEngine,
                   resolutions: Sequence[int], threshold: float,
-                  max_body_bytes: int):
+                  max_body_bytes: int, transfer_format: str = "rgb"):
     default_resolution = resolutions[0]
     allowed = set(resolutions)
 
@@ -332,8 +342,13 @@ def _make_handler(worker: BatchingWorker, engine: TaggerEngine,
                 # resize — shared bytes-level policy with the file loader
                 # (data/bucketing.py::decode_bytes_square; fused native
                 # decode when built, GIL-free on the 1-core host; PIL
-                # fallback otherwise).  Normalize happens on device.
-                pixels = decode_bytes_square(data, resolution)
+                # fallback otherwise).  Normalize happens on device.  YUV
+                # mode ships planar 4:2:0 (half the device-transfer bytes;
+                # RGB reconstituted on device).
+                if transfer_format == "yuv420":
+                    pixels = decode_bytes_square_yuv(data, resolution)
+                else:
+                    pixels = decode_bytes_square(data, resolution)
             except Exception as e:
                 self._json(400, {"error": f"bad image: {e}"})
                 return
@@ -366,11 +381,25 @@ class TaggerServer:
                  batch_timeout_ms: float = 10.0,
                  request_timeout_s: float = 600.0, warmup: bool = True,
                  max_body_bytes: int = 32 * 1024 * 1024,
-                 max_queue: int = 64):
+                 max_queue: int = 64, transfer_format: str = "rgb"):
         resolutions = ((resolution,) if isinstance(resolution, int)
                        else tuple(resolution))
         if not resolutions:
             raise ValueError("need at least one resolution")
+        if transfer_format not in ("rgb", "yuv420"):
+            raise ValueError(f"unknown transfer_format {transfer_format!r}")
+        if transfer_format == "yuv420" and any(r % 2 for r in resolutions):
+            raise ValueError("yuv420 transfer needs even resolutions")
+
+        def _classify_zeros(b: int, r: int):
+            """Warm one (batch, resolution) program in the active format."""
+            if transfer_format == "yuv420":
+                probs, n = engine.classify_yuv_async(
+                    np.zeros((b, r, r), np.uint8),
+                    np.zeros((b, 2, r // 2, r // 2), np.uint8))
+                np.asarray(probs)
+            else:
+                engine.classify(np.zeros((b, r, r, 3), dtype=np.uint8))
         self._bg_warmup = None
         if warmup:
             # compile the padded device-batch program(s) BEFORE accepting
@@ -397,21 +426,21 @@ class TaggerServer:
                 for b in eager:
                     print(f"warming up the {r}px batch-{b} classify "
                           f"program ...")
-                    engine.classify(np.zeros((b, r, r, 3), dtype=np.uint8))
+                    _classify_zeros(b, r)
             if rest:
                 def _warm_rest():
                     for r in resolutions:
                         for b in rest:
-                            engine.classify(
-                                np.zeros((b, r, r, 3), dtype=np.uint8))
+                            _classify_zeros(b, r)
 
                 self._bg_warmup = threading.Thread(
                     target=_warm_rest, daemon=True, name="tagger-warmup")
                 self._bg_warmup.start()
         self.worker = BatchingWorker(engine, max_batch, batch_timeout_ms,
-                                     request_timeout_s, max_queue=max_queue)
+                                     request_timeout_s, max_queue=max_queue,
+                                     transfer_format=transfer_format)
         handler = _make_handler(self.worker, engine, resolutions, threshold,
-                                max_body_bytes)
+                                max_body_bytes, transfer_format)
         self.httpd = ThreadingHTTPServer((host, port), handler)
         self.port = self.httpd.server_address[1]
 
