@@ -206,3 +206,34 @@ def test_train_decoder_final_eval_runs_from_warm_cache(workspace, capsys):
             if ln.startswith("final eval latent cache:")]
     assert line, "cache summary line missing"
     assert "0 encoded batches" in line[0], line[0]
+
+
+def test_train_decoder_e2e_yuv_transfer(workspace):
+    """--transfer_format yuv420 (TPU extension): images travel as planar
+    4:2:0 and the trainer runs end to end, including the latent-cache path
+    (encode_batch handles the planar keys) and the final eval phase."""
+    from vae_tagger_tpu.train.train_decoder import train_decoder
+
+    root, ds, vae_dir = workspace
+    train_decoder(_base_args(root, ds, vae_dir, "dec_yuv",
+                             transfer_format="yuv420", cache_latents=True))
+    out = root / "dec_yuv"
+    assert (out / "best_pytorch_model.bin").exists()
+    hist = json.loads((out / "training_history.json").read_text())
+    assert np.isfinite(hist["train_loss"]).all()
+
+
+def test_train_full_e2e_yuv_transfer(workspace):
+    """train_full over the YUV wire format: triplet steps, the val loop,
+    and the final threshold/eval predict path all consume planar batches."""
+    from vae_tagger_tpu.train.train_full import train_full
+
+    root, ds, vae_dir = workspace
+    args = _base_args(root, ds, vae_dir, "full_yuv",
+                      transfer_format="yuv420")
+    train_full(args)
+    out = root / "full_yuv"
+    assert (out / "best_vae" / "diffusion_pytorch_model.safetensors").exists()
+    assert (out / "optimal_thresholds.json").exists()
+    hist = json.loads((out / "training_history.json").read_text())
+    assert np.isfinite(hist["train_loss"]).all()

@@ -222,3 +222,124 @@ def test_yuv_requires_even_resolution():
 
     with pytest.raises(ValueError):
         load_and_transform_image_yuv("nonexistent.jpg", resolution=33)
+
+
+# --------------------------------------------------------------------------
+# training-path YUV transfer (--transfer_format yuv420 on the trainers)
+# --------------------------------------------------------------------------
+
+def _yuv_triplet_batches(b=2, h=32, w=32, num_classes=8, seed=0):
+    """(yuv_batch, rgb_batch) where the RGB member images are EXACTLY the
+    device-reconstituted YUV ones — so a train step must produce identical
+    results through either wire format."""
+    from vae_tagger_tpu.ops.image import yuv420_to_rgb_uint8
+
+    rng = np.random.default_rng(seed)
+    labels = (rng.random((b, num_classes)) > 0.5).astype(np.float32)
+    yuv = {"labels": jnp.asarray(labels),
+           "positive_labels": jnp.asarray(labels)}
+    rgb = dict(yuv)
+    for i, key in enumerate(("anchor", "positive", "negative")):
+        planes = [rgb_to_yuv420_reference(_photo(h, w, seed=seed + 3 * i + j))
+                  for j in range(b)]
+        yuv[key + "_y"] = jnp.asarray(np.stack([p[0] for p in planes]))
+        yuv[key + "_cbcr"] = jnp.asarray(np.stack([p[1] for p in planes]))
+        rgb[key] = yuv420_to_rgb_uint8(yuv[key + "_y"], yuv[key + "_cbcr"])
+    return yuv, rgb
+
+
+def test_full_train_step_yuv_equals_device_converted_rgb():
+    """make_full_steps through a YUV wire batch == the RGB path fed the
+    device-converted pixels (resolve_transfer_format is exact, not lossy —
+    the 4:2:0 loss happened on the host side)."""
+    import optax
+
+    from vae_tagger_tpu.core.config import default_flux_vae_config
+    from vae_tagger_tpu.infer.engine import build_decoder
+    from vae_tagger_tpu.losses.combined import LossConfig
+    from vae_tagger_tpu.models.autoencoder_kl import AutoencoderKL
+    from vae_tagger_tpu.train.state import TrainState, build_optimizer
+    from vae_tagger_tpu.train.steps import make_full_steps
+
+    cfg = default_flux_vae_config(block_out_channels=(8, 16, 16, 16),
+                                  norm_num_groups=4, latent_channels=16,
+                                  sample_size=32)
+    vae = AutoencoderKL(cfg)
+    vae_params = jax.jit(vae.init)({"params": jax.random.key(0)},
+                                   jnp.zeros((1, 32, 32, 3)),
+                                   jax.random.key(1))["params"]
+    decoder = build_decoder(8, use_attention=True, latent_channels=16)
+    dec_vars = jax.jit(decoder.init, static_argnames=("deterministic",))(
+        {"params": jax.random.key(2)}, jnp.zeros((1, 4, 4, 16)),
+        deterministic=True)
+    tx = build_optimizer(optax.constant_schedule(1e-3), 1e-6, 1.0, 1)
+    train_step, eval_step = make_full_steps(
+        vae, decoder, LossConfig(use_focal_loss=True), use_simplified=True)
+
+    yuv_batch, rgb_batch = _yuv_triplet_batches()
+
+    def fresh():
+        fresh_vars = jax.tree.map(jnp.array, dec_vars)
+        return TrainState.create(
+            {"vae": jax.tree.map(jnp.array, vae_params),
+             "decoder": fresh_vars["params"]},
+            tx, batch_stats=fresh_vars.get("batch_stats"))
+
+    s_yuv, m_yuv = train_step(fresh(), yuv_batch, jax.random.key(7))
+    s_rgb, m_rgb = train_step(fresh(), rgb_batch, jax.random.key(7))
+    np.testing.assert_allclose(float(m_yuv["loss"]), float(m_rgb["loss"]),
+                               rtol=1e-6)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=2e-6, atol=2e-7),
+        s_yuv.params, s_rgb.params)
+    # eval side too
+    e_yuv = eval_step(s_yuv, yuv_batch, jax.random.key(9))
+    e_rgb = eval_step(s_rgb, rgb_batch, jax.random.key(9))
+    np.testing.assert_allclose(np.asarray(e_yuv["probs"]),
+                               np.asarray(e_rgb["probs"]), atol=1e-5)
+
+
+def test_dataset_yuv_items_match_rgb_items(tmp_path):
+    """transfer_format='yuv420' items carry <key>_y/<key>_cbcr planes that
+    are exactly to_yuv420() of the RGB items (same transform, same mining)."""
+    from PIL import Image
+
+    from vae_tagger_tpu.data.bucketing import to_yuv420
+    from vae_tagger_tpu.data.dataset import TaggedImageDataset
+    from vae_tagger_tpu.data.loader import DataLoader
+
+    d = tmp_path / "imgs"
+    d.mkdir()
+    data = {}
+    for i in range(4):
+        p = str(d / f"im{i}.png")
+        Image.fromarray(_photo(48, 48, seed=i)).save(p)
+        data[p] = f"t{i % 2}:1.0, t2:0.8"
+    (tmp_path / "data.json").write_text(json.dumps(data))
+    (tmp_path / "tags.csv").write_text("name\nt0\nt1\nt2\n")
+
+    kw = dict(json_path=str(tmp_path / "data.json"),
+              tags_csv_path=str(tmp_path / "tags.csv"),
+              resolution=32, return_triplets=True, seed=3)
+    ds_rgb = TaggedImageDataset(**kw)
+    ds_yuv = TaggedImageDataset(transfer_format="yuv420", **kw)
+    item_rgb, item_yuv = ds_rgb[1], ds_yuv[1]
+    for key in ("anchor", "positive", "negative"):
+        y, cbcr = to_yuv420(item_rgb[key])
+        np.testing.assert_array_equal(item_yuv[key + "_y"], y)
+        np.testing.assert_array_equal(item_yuv[key + "_cbcr"], cbcr)
+        assert item_yuv[key + "_y"].shape == (32, 32)
+        assert item_yuv[key + "_cbcr"].shape == (2, 16, 16)
+        assert key not in item_yuv
+    np.testing.assert_array_equal(item_yuv["labels"], item_rgb["labels"])
+
+    # loader collates the planar keys into (B, ...) batches
+    batch = next(iter(DataLoader(ds_yuv, 2, shuffle=False, num_workers=1)))
+    assert batch["anchor_y"].shape == (2, 32, 32)
+    assert batch["anchor_cbcr"].shape == (2, 2, 16, 16)
+    assert batch["anchor_y"].dtype == np.uint8
+
+    # odd dims are rejected up front
+    with pytest.raises(ValueError):
+        TaggedImageDataset(transfer_format="yuv420",
+                           **{**kw, "resolution": 33})

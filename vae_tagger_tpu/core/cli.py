@@ -99,6 +99,13 @@ def add_train_args(p: argparse.ArgumentParser, default_lr: float = 1e-4):
                    "batch high-resolution configs (e.g. 1024px bs1) that "
                    "cannot data-parallelize; resolutions must be divisible "
                    "by 8 x device_count")
+    p.add_argument("--transfer_format", type=str, default="rgb",
+                   choices=("rgb", "yuv420"),
+                   help="wire format for images to the device (TPU "
+                   "extension): yuv420 ships planar 4:2:0 (1.5 B/px, half "
+                   "of RGB) and reconstitutes RGB on device — wins when "
+                   "host->device bandwidth binds; numerics differ from rgb "
+                   "only by the chroma subsample")
 
 
 def add_loss_args(p: argparse.ArgumentParser):

@@ -346,6 +346,17 @@ def load_and_transform_image_yuv(
         return decode_bytes_square_yuv(data, resolution)
     rgb = np.asarray(Image.open(path).convert("RGB").resize(
         (resolution, resolution), Image.BILINEAR), dtype=np.uint8)
+    return to_yuv420(rgb)
+
+
+def to_yuv420(rgb: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """HWC uint8 RGB -> (Y, CbCr) planar 4:2:0 uint8 (native one-pass
+    converter, ~2 ms at 1024px; numpy fallback).  H and W must be even.
+
+    This is the host half of the training-path YUV transfer: trainers
+    keep the exact SmartResize/bucket RGB transform and convert the
+    result, paying ~2 ms/image of host CPU for half the wire bytes
+    (data/dataset.py ``transfer_format='yuv420'``)."""
     try:
         from .. import native
 

@@ -77,7 +77,8 @@ class TaggedImageDataset:
                  return_triplets: bool = True,
                  max_candidates: int = 100,
                  seed: Optional[int] = None,
-                 crop_mode: str = "center"):
+                 crop_mode: str = "center",
+                 transfer_format: str = "rgb"):
         with open(json_path, "r", encoding="utf-8") as f:
             self.data = json.load(f)
         self.tags = load_tag_names(tags_csv_path)
@@ -90,6 +91,21 @@ class TaggedImageDataset:
         # caches key on — train_decoder disables --cache_latents unless this
         # is 'center'
         self.crop_mode = crop_mode
+        # 'yuv420': each image travels as <key>_y (H, W) + <key>_cbcr
+        # (2, H/2, W/2) planar uint8 — 1.5 B/px instead of RGB's 3.  The
+        # transform itself is unchanged (SmartResize/bucket RGB, converted
+        # after); the train steps reconstitute uint8 RGB on device
+        # (train/steps.py::resolve_transfer_format), so numerics match the
+        # RGB path to within the 4:2:0 chroma subsample.
+        if transfer_format not in ("rgb", "yuv420"):
+            raise ValueError(f"unknown transfer_format {transfer_format!r}")
+        if transfer_format == "yuv420":
+            dims = ([base_resolution, bucket_step] if use_bucketing
+                    else [resolution or 512])
+            if any(d % 2 for d in dims):
+                raise ValueError("yuv420 transfer needs even image dims; "
+                                 f"got {dims}")
+        self.transfer_format = transfer_format
         self.return_triplets = return_triplets
         self.max_candidates = max_candidates
         self._seed = seed if seed is not None else 0
@@ -211,6 +227,15 @@ class TaggedImageDataset:
             return dummy_image(self.resolution or 512,
                                self.resolution or 512), False
 
+    def _emit(self, item: dict, key: str, image: np.ndarray) -> None:
+        """Store ``image`` under ``key`` in the configured wire format."""
+        if self.transfer_format == "yuv420":
+            from .bucketing import to_yuv420
+
+            item[key + "_y"], item[key + "_cbcr"] = to_yuv420(image)
+        else:
+            item[key] = image
+
     def __getitem__(self, idx: int) -> dict:
         anchor_img, load_ok = self._load_checked(idx)
         anchor_labels = self.labels_matrix[idx]
@@ -223,15 +248,17 @@ class TaggedImageDataset:
             # classification mode: the image travels as pixel_values
             # (in triplet mode it travels once, as "anchor" — the reference
             # ships the same image twice, modules.py:640-648)
-            item["pixel_values"] = anchor_img
+            self._emit(item, "pixel_values", anchor_img)
         if self.return_triplets:
             pos_idx, neg_idx = self._mine_triplet(idx)
+            self._emit(item, "anchor", anchor_img)
+            self._emit(item, "positive",
+                       anchor_img if pos_idx == idx
+                       else self._load(pos_idx, bucket_idx=idx))
+            self._emit(item, "negative",
+                       anchor_img if neg_idx == idx
+                       else self._load(neg_idx, bucket_idx=idx))
             item.update({
-                "anchor": anchor_img,
-                "positive": (anchor_img if pos_idx == idx
-                             else self._load(pos_idx, bucket_idx=idx)),
-                "negative": (anchor_img if neg_idx == idx
-                             else self._load(neg_idx, bucket_idx=idx)),
                 "positive_labels": self.labels_matrix[pos_idx],
                 "negative_labels": self.labels_matrix[neg_idx],
             })

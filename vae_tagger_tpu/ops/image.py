@@ -19,25 +19,22 @@ def normalize_uint8(pixels, dtype=jnp.float32):
     return pixels.astype(dtype) / jnp.asarray(127.5, dtype) - jnp.asarray(1.0, dtype)
 
 
-def yuv420_to_normalized_rgb(y, cbcr, dtype=jnp.float32):
-    """Planar YUV 4:2:0 uint8 -> normalized NHWC RGB in [-1, 1].
+def yuv420_to_rgb_uint8(y, cbcr):
+    """Planar YUV 4:2:0 uint8 -> NHWC uint8 RGB on device.
 
-    The host ships each image as a full-resolution luma plane plus
-    quarter-resolution chroma — 1.5 bytes/pixel instead of RGB's 3 — and
-    this op reconstitutes the reference's normalized RGB tensor on device
-    (the YUV-transfer analogue of :func:`normalize_uint8`; see
-    native/decode.cpp's YCbCr output path).  Chroma is bilinearly
-    upsampled 2x at half-pixel centers (JFIF's centered chroma siting)
-    and converted with the BT.601 full-range matrix libjpeg itself uses,
-    so the result tracks the RGB decode path to within chroma-resample
-    error.
+    Chroma is bilinearly upsampled 2x at half-pixel centers (JFIF's
+    centered chroma siting) and converted with the BT.601 full-range
+    matrix libjpeg itself uses, then rounded/clamped to the uint8 grid —
+    exactly the pixels libjpeg's own RGB output path would have shipped.
+    Feeding the result to :func:`normalize_uint8` therefore reproduces
+    the RGB transfer path bit-for-bit given the same YCbCr source (the
+    training steps rely on this equivalence, train/steps.py).
 
     Args:
       y:    (B, H, W) uint8 luma.
       cbcr: (B, 2, H/2, W/2) uint8 chroma (Cb plane then Cr plane).
-      dtype: output dtype (the model's compute dtype).
 
-    Returns (B, H, W, 3) ``dtype`` in [-1, 1].
+    Returns (B, H, W, 3) uint8 RGB.
     """
     b, h, w = y.shape
     yf = y.astype(jnp.float32)
@@ -49,10 +46,27 @@ def yuv420_to_normalized_rgb(y, cbcr, dtype=jnp.float32):
     g = yf - 0.344136 * cb - 0.714136 * cr
     bl = yf + 1.772 * cb
     rgb = jnp.stack([r, g, bl], axis=-1)
-    # match the uint8 quantization of the RGB path (libjpeg rounds + clamps
-    # to [0, 255] before our normalize would see the pixels)
-    rgb = jnp.clip(jnp.round(rgb), 0.0, 255.0)
-    return (rgb / 127.5 - 1.0).astype(dtype)
+    return jnp.clip(jnp.round(rgb), 0.0, 255.0).astype(jnp.uint8)
+
+
+def yuv420_to_normalized_rgb(y, cbcr, dtype=jnp.float32):
+    """Planar YUV 4:2:0 uint8 -> normalized NHWC RGB in [-1, 1].
+
+    The host ships each image as a full-resolution luma plane plus
+    quarter-resolution chroma — 1.5 bytes/pixel instead of RGB's 3 — and
+    this op reconstitutes the reference's normalized RGB tensor on device
+    (the YUV-transfer analogue of :func:`normalize_uint8`; see
+    native/decode.cpp's YCbCr output path).  The result tracks the RGB
+    decode path to within chroma-resample error.
+
+    Args:
+      y:    (B, H, W) uint8 luma.
+      cbcr: (B, 2, H/2, W/2) uint8 chroma (Cb plane then Cr plane).
+      dtype: output dtype (the model's compute dtype).
+
+    Returns (B, H, W, 3) ``dtype`` in [-1, 1].
+    """
+    return normalize_uint8(yuv420_to_rgb_uint8(y, cbcr), dtype)
 
 
 def rgb_to_yuv420_reference(rgb_u8):

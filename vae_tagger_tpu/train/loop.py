@@ -59,6 +59,12 @@ from ..utils.pipelining import OneInFlight
 
 def build_dataset_and_loaders(args, return_triplets: bool):
     """Dataset + train/val loaders from reference-style args."""
+    transfer_format = getattr(args, "transfer_format", "rgb") or "rgb"
+    if transfer_format != "rgb" and spatial_parallel_enabled(args):
+        # height-sharding the planar chroma (B, 2, H/2, W/2) needs its own
+        # partition spec; not wired up — fail loudly rather than mis-shard
+        raise ValueError("--transfer_format yuv420 is not supported with "
+                         "--spatial_parallel")
     dataset = TaggedImageDataset(
         json_path=args.json_path,
         tags_csv_path=args.tags_csv_path,
@@ -69,6 +75,7 @@ def build_dataset_and_loaders(args, return_triplets: bool):
         bucket_step=args.bucket_step,
         return_triplets=return_triplets,
         seed=args.seed,
+        transfer_format=transfer_format,
     )
     train_idx, val_idx = train_val_split(len(dataset), 0.1, seed=args.seed or 42)
     # All processes see the FULL index lists and an identical seed: the

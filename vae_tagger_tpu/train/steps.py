@@ -42,7 +42,7 @@ from ..models.autoencoder_kl import (
     DiagonalGaussian,
     encode_scaled,
 )
-from ..ops.image import normalize_uint8
+from ..ops.image import normalize_uint8, yuv420_to_rgb_uint8
 
 # Stacked-triplet-encode pixel budget (padded_rows * H * W): above this the
 # checkpointed encode stays per-member to bound HBM (1024x1024 bs1 measured
@@ -55,6 +55,27 @@ _STACK_PX_LIMIT = 7_200_000
 # stacked encode measured ~2.1x slower per image; see _triplet_posterior).
 # Module flag so benchmarks/bs1_step_ab.py can A/B the branch in-context.
 _BS1_PER_MEMBER = True
+
+
+def resolve_transfer_format(batch: dict) -> dict:
+    """Reconstitute uint8 RGB from YUV 4:2:0 wire batches (trace-time).
+
+    ``--transfer_format yuv420`` ships each image as ``<key>_y`` (B, H, W)
+    + ``<key>_cbcr`` (B, 2, H/2, W/2) planar uint8 — half of RGB's bytes
+    over the host->device link.  This converts those pairs back to uint8
+    RGB under the original keys (BT.601 + round/clamp to the uint8 grid,
+    ops/image.py::yuv420_to_rgb_uint8), so every step body downstream is
+    byte-equivalent to the RGB path fed the device-converted pixels; XLA
+    fuses the conversion into the first conv's input processing.  RGB
+    batches pass through untouched."""
+    if not any(k.endswith("_y") for k in batch):
+        return batch
+    batch = dict(batch)
+    for key in ("pixel_values", "anchor", "positive", "negative"):
+        if key + "_y" in batch:
+            batch[key] = yuv420_to_rgb_uint8(batch.pop(key + "_y"),
+                                             batch.pop(key + "_cbcr"))
+    return batch
 
 
 def _triplet_posterior(vae: AutoencoderKL, vae_params, batch, compute_dtype,
@@ -222,11 +243,13 @@ def make_decoder_steps(vae: AutoencoderKL, decoder, cfg: LossConfig,
 
     @partial(jax.jit, donate_argnums=(0,))
     def train_step(state, vae_params, batch, rng):
+        batch = resolve_transfer_format(batch)
         latents = encode(vae_params, batch["pixel_values"])
         return _train_body(state, latents, batch["labels"], rng)
 
     @jax.jit
     def eval_step(state, vae_params, batch):
+        batch = resolve_transfer_format(batch)
         latents = encode(vae_params, batch["pixel_values"])
         return _eval_body(state, latents, batch["labels"])
 
@@ -242,6 +265,10 @@ def make_decoder_steps(vae: AutoencoderKL, decoder, cfg: LossConfig,
         return _eval_body(state, latents, labels)
 
     train_step.encode = jax.jit(encode)
+    # batch-dict form for --cache_latents (handles both wire formats)
+    train_step.encode_batch = jax.jit(
+        lambda p, pix: encode(p,
+                              resolve_transfer_format(pix)["pixel_values"]))
     train_step.from_latents = train_step_latents
     eval_step.from_latents = eval_step_latents
     return train_step, eval_step
@@ -257,6 +284,7 @@ def make_vae_steps(vae: AutoencoderKL, cfg: LossConfig,
                    checkpoint_encode: bool = False,
                    force_xla_kernels: bool = False):
     def forward_losses(vae_params, batch, rng):
+        batch = resolve_transfer_format(batch)
         b = batch["anchor"].shape[0]
         posterior = _triplet_posterior(vae, vae_params, batch, compute_dtype,
                                        checkpoint_encode)
@@ -320,6 +348,7 @@ def make_full_steps(vae: AutoencoderKL, decoder, cfg: LossConfig,
     """Params tree: {'vae': ..., 'decoder': ..., ['adaptive': ...]}."""
 
     def forward_losses(params, batch_stats, batch, rng, *, train):
+        batch = resolve_transfer_format(batch)
         rng_sample, rng_dropout = jax.random.split(rng)
         b = batch["anchor"].shape[0]
         posterior = _triplet_posterior(vae, params["vae"], batch,

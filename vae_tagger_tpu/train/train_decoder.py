@@ -155,7 +155,9 @@ def train_decoder(args):
             cache_state["hits"] += 1
             return place_batch({"x": np.stack(cached)}, mesh)["x"], None
         cache_state["misses"] += 1
-        latents = train_step.encode(vae_params, batch["pixel_values"])
+        pix = {k: batch[k] for k in ("pixel_values", "pixel_values_y",
+                                     "pixel_values_cbcr") if k in batch}
+        latents = train_step.encode_batch(vae_params, pix)
 
         def store():
             ok = (np.asarray(jax.device_get(batch["load_ok"]))

@@ -203,7 +203,10 @@ def train_full(args):
     from ..ops.image import normalize_uint8
 
     @jax.jit
-    def _predict(params, batch_stats, pixels):
+    def _predict(params, batch_stats, pix):
+        from .steps import resolve_transfer_format
+
+        pixels = resolve_transfer_format(pix)["pixel_values"]
         x = normalize_uint8(pixels, policy.compute_dtype)
         posterior = vae.apply({"params": params["vae"]}, x,
                               method=type(vae).encode)
@@ -216,14 +219,18 @@ def train_full(args):
         return jax.nn.sigmoid(logits.astype(jnp.float32))
 
     def predict_fn(batch):
-        pixels = batch.get("pixel_values", batch["anchor"])
-        sb = ((shard_batch_spatial if spatial else shard_batch)
-              ({"pixel_values": pixels}, mesh))  # only what's used
+        # only what's used travels: the anchor image in its wire format
+        if "anchor_y" in batch:
+            pix = {"pixel_values_y": batch["anchor_y"],
+                   "pixel_values_cbcr": batch["anchor_cbcr"]}
+        else:
+            pix = {"pixel_values": batch.get("pixel_values",
+                                             batch["anchor"])}
+        sb = ((shard_batch_spatial if spatial else shard_batch)(pix, mesh))
         from .steps import _kernel_ctx
 
         with _kernel_ctx(spatial, training=False):
-            return _predict(state.params, state.batch_stats,
-                            sb["pixel_values"])
+            return _predict(state.params, state.batch_stats, sb)
 
     # ONE val inference pass shared by threshold search and final eval
     # (the reference runs two back-to-back, evaluation.py:209-222 + 173-200)
