@@ -265,7 +265,12 @@ def main():
                  "loop; device side per-dispatch minus measured RTT.  The "
                  "relay's host->device path (~45 MB/s, CPU-burning) is a "
                  "harness artifact — on a PCIe host transfer is ~3 ms and "
-                 "the loader rate is the only host-side bound."),
+                 "the loader rate is the only host-side bound.  The relay "
+                 "rate swings a lot between runs, so the rgb e2e figure "
+                 "swings with it (measured 962-1233 ms/step across runs); "
+                 "the yuv420 e2e is stable (921-922 ms) because half the "
+                 "bytes halves the exposure — compare rgb vs yuv420 within "
+                 "one run only."),
     }
     print(json.dumps(entry, indent=2))
 
