@@ -37,14 +37,36 @@ def main():
                         help="json = reference-compatible latent_vectors"
                              ".json; npz = compressed fp32 arrays keyed by "
                              "image path (~40x smaller, TPU extension)")
+    parser.add_argument("--tiled", action="store_true",
+                        help="encode each image at its NATIVE resolution "
+                             "through fixed-shape overlapping tiles instead "
+                             "of square-resizing to --resolution (TPU "
+                             "extension; HBM bounded by one tile batch)")
+    parser.add_argument("--tile_size", type=int, default=1024,
+                        help="tile extent in pixels for --tiled "
+                             "(multiple of 8)")
+    parser.add_argument("--tile_overlap", type=int, default=256,
+                        help="neighbor overlap in pixels for --tiled "
+                             "(multiple of 8; seams blend across it)")
     args = parser.parse_args()
 
     from vae_tagger_tpu.infer import infer_and_save_latents
-    from vae_tagger_tpu.infer.latents import VAEOnlyEngine
+    from vae_tagger_tpu.infer.latents import (
+        VAEOnlyEngine,
+        infer_and_save_latents_tiled,
+    )
 
     engine = VAEOnlyEngine(vae_checkpoint=args.vae_checkpoint,
                            vae_config_path=args.vae_config_path,
                            mixed_precision=args.mixed_precision)
+    if args.tiled:
+        infer_and_save_latents_tiled(engine.vae, engine.vae_params,
+                                     args.image_path,
+                                     output_dir=args.output_dir,
+                                     tile=args.tile_size,
+                                     overlap=args.tile_overlap,
+                                     output_format=args.output_format)
+        return
     infer_and_save_latents(engine, args.image_path,
                            output_dir=args.output_dir,
                            resolution=args.resolution,

@@ -49,6 +49,13 @@ def main():
     parser.add_argument("--resolution", type=int, default=512)
     parser.add_argument("--show_result", action="store_true")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--tiled", action="store_true",
+                        help="round-trip at the image's NATIVE resolution "
+                             "through fixed-shape overlapping tiles (TPU "
+                             "extension; posterior mode instead of a "
+                             "sample, HBM bounded by one tile batch)")
+    parser.add_argument("--tile_size", type=int, default=1024)
+    parser.add_argument("--tile_overlap", type=int, default=256)
     args = parser.parse_args()
 
     if not args.vae_checkpoint and not args.vae_config_path:
@@ -72,22 +79,41 @@ def main():
     else:
         original = create_test_image((args.resolution, args.resolution))
         print("using a generated test image")
-    original = original.resize((args.resolution, args.resolution),
-                               Image.LANCZOS)
-    pixels = jnp.asarray(np.asarray(original, np.uint8))[None]
+    if not args.tiled:
+        original = original.resize((args.resolution, args.resolution),
+                                   Image.LANCZOS)
+    pixels_np = np.asarray(original, np.uint8)
 
-    @jax.jit
-    def roundtrip(params, px, rng):
-        x = normalize_uint8(px)
-        posterior = vae.apply({"params": params}, x,
-                              method=AutoencoderKL.encode)
-        z = posterior.sample(rng)
-        recon = vae.apply({"params": params}, z, method=AutoencoderKL.decode)
-        return x, z, recon
+    if args.tiled:
+        from vae_tagger_tpu.infer.tiled import TiledVAE
+        from vae_tagger_tpu.models.autoencoder_kl import decode_scaled
 
-    print("running VAE encode/decode...")
-    x, latent, recon = map(np.asarray, jax.device_get(
-        roundtrip(params, pixels, jax.random.key(args.seed))))
+        print(f"running TILED VAE encode/decode at native "
+              f"{pixels_np.shape[1]}x{pixels_np.shape[0]} "
+              f"(tile {args.tile_size}, overlap {args.tile_overlap})...")
+        tiler = TiledVAE(vae, params, tile=args.tile_size,
+                         overlap=args.tile_overlap)
+        x = np.asarray(pixels_np, np.float32)[None] / 127.5 - 1.0
+        z_scaled = tiler.encode(pixels_np)
+        # report the RAW posterior-mode latent like the direct path below
+        latent = np.asarray(decode_scaled(z_scaled, vae.config))[None]
+        recon = tiler.decode(z_scaled)[None][:, :x.shape[1], :x.shape[2]]
+    else:
+        pixels = jnp.asarray(pixels_np)[None]
+
+        @jax.jit
+        def roundtrip(params, px, rng):
+            x = normalize_uint8(px)
+            posterior = vae.apply({"params": params}, x,
+                                  method=AutoencoderKL.encode)
+            z = posterior.sample(rng)
+            recon = vae.apply({"params": params}, z,
+                              method=AutoencoderKL.decode)
+            return x, z, recon
+
+        print("running VAE encode/decode...")
+        x, latent, recon = map(np.asarray, jax.device_get(
+            roundtrip(params, pixels, jax.random.key(args.seed))))
     print(f"latent shape: {latent.shape}")
     print(f"latent stats: mean={latent.mean():.4f}, std={latent.std():.4f}")
 
@@ -139,7 +165,8 @@ def main():
         print(f"torch latent export skipped: {e}")
 
     print("VAE reconstruction test complete!")
-    print(f"input resolution: {args.resolution}x{args.resolution}")
+    print(f"input resolution: {x.shape[2]}x{x.shape[1]}"
+          + (" (native, tiled)" if args.tiled else ""))
     print(f"latent shape: {latent.shape}")
     print(f"compression ratio: {compression:.2f}:1")
     print(f"reconstruction MSE: {mse:.6f}")

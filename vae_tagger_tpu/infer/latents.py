@@ -99,6 +99,68 @@ def infer_and_save_latents(engine, image_path: str,
     return latent_data
 
 
+def infer_and_save_latents_tiled(vae, vae_params, image_path: str,
+                                 output_dir: str = "inference_output",
+                                 tile: int = 1024, overlap: int = 256,
+                                 output_format: str = "json",
+                                 verbose: bool = True) -> dict:
+    """Native-resolution latent extraction via tiled encode (TPU extension).
+
+    The reference (and our standard path above) square-resizes every image
+    to ``--resolution`` before encoding (/root/reference/infer_vae.py:48-60)
+    — latents of a 4000x6000 photo describe a 1024px thumbnail.  This path
+    keeps each image at its native size and encodes through fixed-shape
+    overlapping tiles (infer/tiled.py), so latent grids scale with the
+    image while HBM stays bounded by one tile batch.  Output schema matches
+    ``latent_vectors.json`` (flat channel-major lists; lengths now vary per
+    image)."""
+    from PIL import Image
+
+    from .tiled import TiledVAE
+
+    if output_format not in ("json", "npz"):
+        raise ValueError(f"unknown output_format {output_format!r}")
+    image_paths = get_image_paths(image_path)
+    if not image_paths:
+        print("no image files found; check the path")
+        return {}
+
+    tiler = TiledVAE(vae, vae_params, tile=tile, overlap=overlap)
+    latent_data, errors = {}, 0
+    meter = ThroughputMeter()
+    for path in image_paths:
+        try:
+            img = np.asarray(Image.open(path).convert("RGB"), np.uint8)
+            z = tiler.encode(img)
+        except Exception as e:
+            errors += 1
+            print(f"skipping image {path}: {e}")
+            continue
+        flat = flatten_latent_torch_order(np.asarray(z, np.float32))
+        latent_data[str(path)] = (flat.tolist() if output_format == "json"
+                                  else flat)
+        meter.update(1)
+        if verbose:
+            print(f"{path}: {img.shape[1]}x{img.shape[0]} -> latent "
+                  f"{z.shape[1]}x{z.shape[0]}x{z.shape[2]}")
+    if verbose:
+        print(f"done — ok: {len(latent_data)}, failed: {errors}, "
+              f"{meter.report()}")
+
+    output_path = Path(output_dir) / (
+        "latent_vectors.npz" if output_format == "npz"
+        else "latent_vectors.json")
+    output_path.parent.mkdir(parents=True, exist_ok=True)
+    if output_format == "npz":
+        np.savez_compressed(output_path, **latent_data)
+    else:
+        with open(output_path, "w", encoding="utf-8") as f:
+            json.dump(latent_data, f, indent=4)
+    if verbose:
+        print(f"latent vectors saved to: {output_path}")
+    return latent_data
+
+
 class VAEOnlyEngine:
     """Encode-only engine for infer_vae (no decoder checkpoint needed)."""
 
