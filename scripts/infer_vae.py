@@ -37,6 +37,13 @@ def main():
                         help="json = reference-compatible latent_vectors"
                              ".json; npz = compressed fp32 arrays keyed by "
                              "image path (~40x smaller, TPU extension)")
+    parser.add_argument("--transfer_format", type=str, default="rgb",
+                        choices=["rgb", "yuv420"],
+                        help="host->device pixel wire format (TPU "
+                             "extension): yuv420 ships planar 4:2:0 at "
+                             "1.5 B/px (half of RGB) and reconstitutes RGB "
+                             "on device ahead of the encoder; ignored "
+                             "with --tiled")
     parser.add_argument("--tiled", action="store_true",
                         help="encode each image at its NATIVE resolution "
                              "through fixed-shape overlapping tiles instead "
@@ -60,6 +67,9 @@ def main():
                            vae_config_path=args.vae_config_path,
                            mixed_precision=args.mixed_precision)
     if args.tiled:
+        if args.transfer_format != "rgb":
+            print("tiled encode works on native-resolution RGB "
+                  "(--transfer_format yuv420 ignored)")
         infer_and_save_latents_tiled(engine.vae, engine.vae_params,
                                      args.image_path,
                                      output_dir=args.output_dir,
@@ -73,7 +83,8 @@ def main():
                            batch_size=args.batch_size,
                            num_workers=args.num_workers,
                            prefetch_factor=args.prefetch_factor,
-                           output_format=args.output_format)
+                           output_format=args.output_format,
+                           transfer_format=args.transfer_format)
 
 
 if __name__ == "__main__":

@@ -136,6 +136,41 @@ def test_latents_json_and_flatten_order(artifacts, tmp_path):
                                resolution=64, output_format="parquet")
 
 
+def test_latents_yuv_transfer(artifacts, tmp_path):
+    """VAEOnlyEngine (the infer_vae.py CLI engine) supports the YUV 4:2:0
+    wire format; extraction matches the RGB path's keys and shapes and the
+    vectors agree to chroma-resample noise."""
+    root, ds, vae_dir, bin_path = artifacts
+    engine = VAEOnlyEngine(
+        vae_checkpoint=f"{vae_dir}/diffusion_pytorch_model.safetensors",
+        vae_config_path=f"{vae_dir}/config.json")
+    rgb = infer_and_save_latents(engine, ds["images_dir"],
+                                 output_dir=str(tmp_path / "rgb"),
+                                 resolution=64, batch_size=4, verbose=False,
+                                 output_format="npz")
+    yuv = infer_and_save_latents(engine, ds["images_dir"],
+                                 output_dir=str(tmp_path / "yuv"),
+                                 resolution=64, batch_size=4, verbose=False,
+                                 output_format="npz",
+                                 transfer_format="yuv420")
+    assert set(rgb) == set(yuv) and len(rgb) == 6
+    # exact oracle: the YUV wire path must equal encoding the
+    # device-converted RGB of the SAME planes (the 4:2:0 loss happens on
+    # the host; the device side is deterministic)
+    from vae_tagger_tpu.data.bucketing import load_and_transform_image_yuv
+    from vae_tagger_tpu.infer.latents import flatten_latent_torch_order
+    from vae_tagger_tpu.ops.image import yuv420_to_rgb_uint8
+    for k in yuv:
+        b = np.asarray(yuv[k], np.float32)
+        assert b.shape == (16 * 8 * 8,)
+        y, cbcr = load_and_transform_image_yuv(k, resolution=64)
+        conv = np.asarray(yuv420_to_rgb_uint8(jnp.asarray(y[None]),
+                                              jnp.asarray(cbcr[None])))
+        expect = flatten_latent_torch_order(
+            np.asarray(engine.encode(conv)[0], np.float32))
+        np.testing.assert_allclose(b, expect, rtol=2e-5, atol=2e-5)
+
+
 def test_standalone_evaluate_checkpoint(artifacts, tmp_path):
     """scripts/evaluate.py path: score exported artifacts on a labeled
     dataset without a training run (the reference cannot do this)."""

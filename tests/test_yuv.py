@@ -217,6 +217,58 @@ def test_loader_yuv_batches_and_classify_parity(tmp_path):
                 "max_confidence", "avg_confidence_top5"} <= set(v)
 
 
+def test_engine_encode_yuv_matches_converted_rgb():
+    """encode_yuv_async == encode() fed the device-converted RGB pixels —
+    the wire format changes bytes on the wire, not the encoded latents."""
+    from vae_tagger_tpu.ops.image import yuv420_to_rgb_uint8
+
+    engine = _tiny_engine()
+    planes = [rgb_to_yuv420_reference(_photo(64, 64, seed=40 + i))
+              for i in range(2)]
+    y = np.stack([p[0] for p in planes])
+    cbcr = np.stack([p[1] for p in planes])
+    rgb = np.asarray(yuv420_to_rgb_uint8(jnp.asarray(y), jnp.asarray(cbcr)))
+
+    lat_dev, b = engine.encode_yuv_async(y, cbcr)
+    lat_yuv = np.asarray(lat_dev)[:b]
+    lat_rgb = engine.encode(rgb)
+    np.testing.assert_allclose(lat_yuv, lat_rgb, rtol=2e-6, atol=2e-6)
+
+
+def test_latent_extraction_yuv_e2e(tmp_path):
+    """infer_and_save_latents --transfer_format yuv420: same image keys,
+    latents within chroma-resample noise of the RGB wire path."""
+    from PIL import Image
+
+    from vae_tagger_tpu.infer.latents import infer_and_save_latents
+
+    d = tmp_path / "imgs"
+    d.mkdir()
+    for i in range(3):
+        Image.fromarray(_photo(96, 128, seed=50 + i)).save(
+            d / f"im{i}.jpg", quality=95)
+
+    engine = _tiny_engine()
+    rgb = infer_and_save_latents(engine, str(d), str(tmp_path / "o_rgb"),
+                                 resolution=64, batch_size=2, verbose=False,
+                                 output_format="npz")
+    yuv = infer_and_save_latents(engine, str(d), str(tmp_path / "o_yuv"),
+                                 resolution=64, batch_size=2, verbose=False,
+                                 output_format="npz",
+                                 transfer_format="yuv420")
+    assert set(rgb) == set(yuv) and len(rgb) == 3
+    for k in rgb:
+        a = np.asarray(rgb[k], np.float32)
+        b = np.asarray(yuv[k], np.float32)
+        assert a.shape == b.shape
+        # 4:2:0 chroma subsampling perturbs the input slightly; latents of
+        # the tiny random VAE stay close in an rms sense
+        rms = float(np.sqrt(np.mean((a - b) ** 2)))
+        scale = float(np.sqrt(np.mean(a ** 2))) + 1e-6
+        assert rms / scale < 0.15, (rms, scale)
+    assert (tmp_path / "o_yuv" / "latent_vectors.npz").exists()
+
+
 def test_yuv_requires_even_resolution():
     from vae_tagger_tpu.data.bucketing import load_and_transform_image_yuv
 

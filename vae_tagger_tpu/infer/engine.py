@@ -236,6 +236,16 @@ class TaggerEngine:
         return latents, probs
 
     @partial(jax.jit, static_argnums=0)
+    def _encode_yuv_fn(self, vae_params, y_uint8, cbcr_uint8):
+        """Encode-only YUV 4:2:0 path (latent extraction over the half-byte
+        wire format; conversion fused on device like the classify path)."""
+        x = yuv420_to_normalized_rgb(y_uint8, cbcr_uint8,
+                                     self.policy.compute_dtype)
+        posterior = self.vae.apply({"params": vae_params}, x,
+                                   method=AutoencoderKL.encode)
+        return encode_scaled(posterior.mode(), self.vae.config)
+
+    @partial(jax.jit, static_argnums=0)
     def _encode_classify_yuv_fn(self, vae_params, decoder_variables,
                                 y_uint8, cbcr_uint8):
         """Planar YUV 4:2:0 input (half the transfer bytes of RGB): chroma
@@ -363,6 +373,19 @@ class TaggerEngine:
             _, probs = self._encode_classify_fn(
                 self.vae_params, self.decoder_variables, self._place(px))
         return probs, b
+
+    def encode_yuv_async(self, y_uint8: np.ndarray, cbcr_uint8: np.ndarray):
+        """YUV 4:2:0 analogue of :meth:`encode_async`: planar (Y, CbCr)
+        uint8 pair in, (device_latents, real_count) out.  Same spatial-mode
+        restriction as classify_yuv_async."""
+        if self.spatial_axis is not None:
+            raise NotImplementedError(
+                "YUV transfer is not supported with spatial parallelism")
+        mult = self._pad_multiple()
+        y, b = self._pad_batch(np.asarray(y_uint8), mult)
+        cbcr, _ = self._pad_batch(np.asarray(cbcr_uint8), mult)
+        return self._encode_yuv_fn(self.vae_params, self._place(y),
+                                   self._place(cbcr)), b
 
     def classify_yuv_async(self, y_uint8: np.ndarray,
                            cbcr_uint8: np.ndarray):

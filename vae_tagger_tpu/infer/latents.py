@@ -32,7 +32,8 @@ def infer_and_save_latents(engine, image_path: str,
                            verbose: bool = True,
                            num_workers: int = 4,
                            prefetch_factor: int = 2,
-                           output_format: str = "json") -> dict:
+                           output_format: str = "json",
+                           transfer_format: str = "rgb") -> dict:
     """``engine`` needs only ``.encode`` (a TaggerEngine or a VAE-only shim).
 
     Decode overlaps device compute one batch ahead (see pipeline.py).
@@ -40,7 +41,12 @@ def infer_and_save_latents(engine, image_path: str,
     output_format: "json" (reference byte-compat ``latent_vectors.json``,
     infer_vae.py:76-81 — ~10 bytes/float, minutes of tolist+dump at scale)
     or "npz" (TPU extension: ``latent_vectors.npz``, one fp32 array per
-    image path, ~40x smaller and loadable with ``np.load``)."""
+    image path, ~40x smaller and loadable with ``np.load``).
+
+    transfer_format "yuv420" ships planar 4:2:0 to the device (1.5 B/px,
+    half of RGB; chroma upsample + BT.601 conversion fused ahead of the
+    encoder) — the same wire-format win infer_full has, relevant because
+    this path, like tagging, is host-decode/transfer bound e2e."""
     if output_format not in ("json", "npz"):
         raise ValueError(f"unknown output_format {output_format!r}")
     image_paths = get_image_paths(image_path)
@@ -56,6 +62,8 @@ def infer_and_save_latents(engine, image_path: str,
     # the PREVIOUS dispatch and let the device run ahead
     encode_async = getattr(engine, "encode_async",
                            lambda px: (engine.encode(px), len(px)))
+    if transfer_format == "yuv420":
+        encode_async = engine.encode_yuv_async  # planar (Y, CbCr) pair in
 
     def resolve(batch_paths, latents_dev, n):
         nonlocal processed
@@ -69,7 +77,8 @@ def infer_and_save_latents(engine, image_path: str,
 
     pipeline = OneInFlight(resolve)
     for evt in iter_image_batches(image_paths, resolution, batch_size,
-                                  num_workers, prefetch_factor):
+                                  num_workers, prefetch_factor,
+                                  pixel_format=transfer_format):
         if evt[0] == "error":
             errors += 1
             print(f"skipping image {evt[1]}: {evt[2]}")
@@ -77,7 +86,10 @@ def infer_and_save_latents(engine, image_path: str,
         _, batch_paths, block = evt
         n = len(batch_paths)
         block = pad_tail_rows(block, batch_size)  # keep the compiled shape
-        latents_dev, _ = encode_async(block)
+        if transfer_format == "yuv420":
+            latents_dev, _ = encode_async(*block)
+        else:
+            latents_dev, _ = encode_async(block)
         pipeline.submit(batch_paths, latents_dev, n)
     pipeline.flush()
 
@@ -171,7 +183,7 @@ class VAEOnlyEngine:
 
         from ..core.precision import resolve_mixed_precision
         from ..models.autoencoder_kl import AutoencoderKL, encode_scaled
-        from ..ops.image import normalize_uint8
+        from ..ops.image import normalize_uint8, yuv420_to_normalized_rgb
 
         policy = resolve_mixed_precision(mixed_precision)
         self.vae, self.vae_params = load_vae_bundle(
@@ -187,7 +199,16 @@ class VAEOnlyEngine:
                                   method=AutoencoderKL.encode)
             return encode_scaled(posterior.mode(), vae.config)
 
+        @jax.jit
+        def encode_yuv_fn(params, y_uint8, cbcr_uint8):
+            x = yuv420_to_normalized_rgb(y_uint8, cbcr_uint8,
+                                         policy.compute_dtype)
+            posterior = vae.apply({"params": params}, x,
+                                  method=AutoencoderKL.encode)
+            return encode_scaled(posterior.mode(), vae.config)
+
         self._encode_fn = encode_fn
+        self._encode_yuv_fn = encode_yuv_fn
 
     def encode_async(self, pixels_uint8):
         """Dispatch without fetching: (device_latents, real_count)."""
@@ -199,6 +220,17 @@ class VAEOnlyEngine:
         # per-pixel throughput on v5e (pads sliced off by the caller)
         px, b = TaggerEngine._pad_batch(np.asarray(pixels_uint8))
         return self._encode_fn(self.vae_params, jnp.asarray(px)), b
+
+    def encode_yuv_async(self, y_uint8, cbcr_uint8):
+        """Planar YUV 4:2:0 analogue: (device_latents, real_count)."""
+        import jax.numpy as jnp
+
+        from .engine import TaggerEngine
+
+        y, b = TaggerEngine._pad_batch(np.asarray(y_uint8))
+        cbcr, _ = TaggerEngine._pad_batch(np.asarray(cbcr_uint8))
+        return self._encode_yuv_fn(self.vae_params, jnp.asarray(y),
+                                   jnp.asarray(cbcr)), b
 
     def encode(self, pixels_uint8):
         latents, b = self.encode_async(pixels_uint8)
