@@ -137,6 +137,57 @@ def test_native_jpeg_yuv_decode_tracks_rgb_decode():
     assert np.abs(back - direct).mean() < 4.0 / 127.5
 
 
+def _webp_bytes(img, lossless=False, quality=92):
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="WEBP", lossless=lossless,
+                              quality=quality)
+    return buf.getvalue()
+
+
+def test_native_webp_yuv_decode_tracks_rgb_decode():
+    """Lossy WebP decodes straight to its coded VP8 planes (limited-range
+    BT.601, range-expanded in C); the reconstituted RGB must track the RGB
+    decode path (same coded data, chroma handled host-side vs device-side)."""
+    native = pytest.importorskip("vae_tagger_tpu.native")
+    if not native.decode_available("webp") or \
+            not hasattr(native, "decode_webp_resize_yuv420"):
+        pytest.skip("native YUV WebP decode unavailable")
+    img = _photo(120, 160, seed=6)
+    data = _webp_bytes(img)
+    rgb = native.decode_webp_resize(data, 64, 64, "distort",
+                                    resample="bilinear")
+    out = native.decode_webp_resize_yuv420(data, 64, 64, "distort",
+                                           resample="bilinear")
+    assert out is not None
+    y, cbcr = out
+    assert y.shape == (64, 64) and cbcr.shape == (2, 32, 32)
+    back = np.asarray(yuv420_to_normalized_rgb(
+        jnp.asarray(y[None]), jnp.asarray(cbcr[None])))[0]
+    direct = np.asarray(normalize_uint8(jnp.asarray(rgb[None])))[0]
+    assert np.abs(back - direct).mean() < 4.0 / 127.5
+
+
+def test_native_webp_lossless_falls_back_to_rgb_path():
+    """Lossless WebP is RGB-coded: the YUV fast path declines (None) and the
+    generic dispatcher converts the native RGB decode instead — exactly."""
+    native = pytest.importorskip("vae_tagger_tpu.native")
+    if not native.decode_available("webp") or \
+            not hasattr(native, "decode_webp_resize_yuv420"):
+        pytest.skip("native YUV WebP decode unavailable")
+    img = _photo(96, 96, seed=8)
+    data = _webp_bytes(img, lossless=True)
+    assert native.decode_webp_resize_yuv420(data, 64, 64) is None
+    out = native.decode_image_resize_yuv420(data, 64, 64)
+    assert out is not None
+    y, cbcr = out
+    rgb = native.decode_image_resize(data, 64, 64)
+    y_ref, cbcr_ref = native.rgb_to_yuv420(rgb)
+    np.testing.assert_array_equal(y, y_ref)
+    np.testing.assert_array_equal(cbcr, cbcr_ref)
+
+
 def test_native_grayscale_jpeg_yuv():
     native = pytest.importorskip("vae_tagger_tpu.native")
     if not native.decode_available("jpeg") or \

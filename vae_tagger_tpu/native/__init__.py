@@ -133,6 +133,14 @@ def _load() -> Optional[ctypes.CDLL]:
                     ctypes.c_int, ctypes.c_int, ctypes.c_int,
                     ctypes.c_int, ctypes.c_int,
                 ]
+            if hasattr(lib, "vt_webp_decode_resize_yuv420"):
+                lib.vt_webp_decode_resize_yuv420.restype = ctypes.c_int
+                lib.vt_webp_decode_resize_yuv420.argtypes = [
+                    u8p, ctypes.c_size_t, u8p, u8p, u8p,
+                    ctypes.c_int, ctypes.c_int,
+                    ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                    ctypes.c_int,
+                ]
             for fmt, (info_sym, dec_sym) in _DECODERS.items():
                 if not hasattr(lib, dec_sym):
                     continue
@@ -378,6 +386,42 @@ def decode_jpeg_resize_yuv420(data: bytes, target_width: int,
     return y, cbcr
 
 
+def decode_webp_resize_yuv420(data: bytes, target_width: int,
+                              target_height: int, crop_mode: str = "center",
+                              crop_offset: tuple[int, int] = (0, 0),
+                              resample: str = "lanczos"):
+    """Lossy-WebP decode + SmartResize straight to planar YUV 4:2:0.
+
+    VP8 is natively BT.601 limited-range YCbCr 4:2:0 — the coded planes are
+    resampled directly (no chroma upsample, no color conversion on the
+    host) and range-expanded to the full-range wire format the device
+    converter expects.  Returns (Y (H, W) uint8, CbCr (2, H/2, W/2) uint8),
+    or None when the file is lossless/animated (RGB-coded: caller decodes
+    RGB and converts) or the decoder is not built.  Target dims must be
+    even."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "vt_webp_decode_resize_yuv420"):
+        return None
+    if target_height % 2 or target_width % 2:
+        raise ValueError(
+            f"YUV 4:2:0 needs even target dims, got "
+            f"{target_height}x{target_width}")
+    buf = (ctypes.c_uint8 * len(data)).from_buffer_copy(data)
+    y = np.empty((target_height, target_width), np.uint8)
+    cbcr = np.empty((2, target_height // 2, target_width // 2), np.uint8)
+    u8 = ctypes.POINTER(ctypes.c_uint8)
+    rc = lib.vt_webp_decode_resize_yuv420(
+        buf, len(data), y.ctypes.data_as(u8), cbcr[0].ctypes.data_as(u8),
+        cbcr[1].ctypes.data_as(u8), target_height, target_width,
+        _CROP_MODES.get(crop_mode, 0), crop_offset[0], crop_offset[1],
+        _FILTERS[resample])
+    if rc == 2:
+        return None  # lossless/animated: use the RGB path
+    if rc != 0:
+        raise RuntimeError(f"vt_webp_decode_resize_yuv420 failed: {rc}")
+    return y, cbcr
+
+
 def decode_image_resize_yuv420(data: bytes, target_width: int,
                                target_height: int, crop_mode: str = "center",
                                crop_offset: tuple[int, int] = (0, 0),
@@ -385,10 +429,11 @@ def decode_image_resize_yuv420(data: bytes, target_width: int,
                                resample: str = "lanczos"):
     """Any supported format -> planar YUV 4:2:0 (Y, CbCr), or None.
 
-    JPEGs decode straight to YCbCr (no color conversion anywhere on the
-    host); PNG/WebP decode+resize to RGB natively and convert in one extra
-    pass.  None = no native decoder for these bytes (caller decodes via
-    PIL and converts with :func:`rgb_to_yuv420`).
+    JPEGs decode straight to YCbCr and lossy WebPs straight to their coded
+    VP8 planes (no color conversion anywhere on the host); PNG and
+    lossless/animated WebP decode+resize to RGB natively and convert in
+    one extra pass.  None = no native decoder for these bytes (caller
+    decodes via PIL and converts with :func:`rgb_to_yuv420`).
     """
     fmt = sniff_format(data)
     if fmt == "jpeg" and decode_available("jpeg"):
@@ -398,6 +443,12 @@ def decode_image_resize_yuv420(data: bytes, target_width: int,
         if out is not None:
             return out
         # fall through: exotic-colorspace JPEG via the RGB decoder
+    if fmt == "webp" and decode_available("webp"):
+        out = decode_webp_resize_yuv420(data, target_width, target_height,
+                                        crop_mode, crop_offset, resample)
+        if out is not None:
+            return out
+        # fall through: lossless/animated WebP via the RGB decoder
     rgb = decode_image_resize(data, target_width, target_height, crop_mode,
                               crop_offset, quality_factor, False, resample)
     if rgb is None:

@@ -396,6 +396,80 @@ int vt_webp_decode_resize(const uint8_t* data, size_t len,
                                 crop_mode, crop_x, crop_y, filter);
 }
 
+// WebP decode straight to planar YUV 4:2:0 + SmartResize.
+//
+// Lossy WebP (VP8) is CODED as BT.601 limited-range YCbCr 4:2:0, so this
+// path skips libwebp's fancy chroma upsample + YUV->RGB conversion entirely:
+// the coded planes are resampled directly (Y to target, Cb/Cr to half
+// target — 1.5 plane-pixels per source pixel instead of the RGB path's 3),
+// then expanded from limited (16..235 / 16..240) to FULL range with
+// 256-entry LUTs so the wire format matches the JPEG path's full-range
+// planes (the device converter, ops/image.py::yuv420_to_normalized_rgb,
+// assumes JPEG-style full range; 1.402*255/224 == the 1.596 of the
+// standard limited-range matrix, so the composition is the same math as
+// libwebp's own conversion up to rounding).
+//
+// Lossless WebP is RGB-coded — requesting YUV would only move an RGB->YUV
+// conversion inside libwebp at full resolution — and animations need the
+// demux API; both return 2 and the caller uses the RGB decoder +
+// vt_rgb_to_yuv420.  Chroma crop windows are recomputed on the half-size
+// planes (<=1 chroma-pixel alignment difference vs the Y window — below
+// the tolerance chroma subsampling already implies).  Returns 0 ok,
+// 2 = not served, <0 error.
+int vt_webp_decode_resize_yuv420(const uint8_t* data, size_t len,
+                                 uint8_t* y_dst, uint8_t* cb_dst,
+                                 uint8_t* cr_dst, int dst_h, int dst_w,
+                                 int crop_mode, int crop_x, int crop_y,
+                                 int filter) {
+  if (!data || len < 12 || !y_dst || !cb_dst || !cr_dst || dst_h <= 0 ||
+      dst_w <= 0 || (dst_h % 2) != 0 || (dst_w % 2) != 0) {
+    return -1;
+  }
+  WebPBitstreamFeatures feat;
+  if (WebPGetFeatures(data, len, &feat) != VP8_STATUS_OK) return -2;
+  // format: 0 undefined, 1 lossy (VP8: native YUV), 2 lossless (RGB-coded)
+  if (feat.format != 1 || feat.has_animation) return 2;
+  const int sw = feat.width, sh = feat.height;
+  if (sw <= 0 || sh <= 0) return -3;
+  const int cw = (sw + 1) / 2;
+  const int ch = (sh + 1) / 2;
+  std::vector<uint8_t> yb(static_cast<size_t>(sw) * sh);
+  std::vector<uint8_t> ub(static_cast<size_t>(cw) * ch);
+  std::vector<uint8_t> vb(static_cast<size_t>(cw) * ch);
+  if (!WebPDecodeYUVInto(data, len, yb.data(), yb.size(), sw,
+                         ub.data(), ub.size(), cw,
+                         vb.data(), vb.size(), cw)) {
+    return -3;
+  }
+  int rc = vt_resize_plane(yb.data(), sh, sw, 1, 0, y_dst, dst_h, dst_w,
+                           crop_mode, crop_x, crop_y, filter);
+  if (rc != 0) return rc;
+  rc = vt_resize_plane(ub.data(), ch, cw, 1, 0, cb_dst, dst_h / 2, dst_w / 2,
+                       crop_mode, crop_x / 2, crop_y / 2, filter);
+  if (rc != 0) return rc;
+  rc = vt_resize_plane(vb.data(), ch, cw, 1, 0, cr_dst, dst_h / 2, dst_w / 2,
+                       crop_mode, crop_x / 2, crop_y / 2, filter);
+  if (rc != 0) return rc;
+
+  // limited -> full range, applied at TARGET size (a linear map commutes
+  // with the linear resample up to uint8 rounding; target is the smaller)
+  uint8_t ylut[256], clut[256];
+  for (int i = 0; i < 256; ++i) {
+    const double yf = (i - 16) * 255.0 / 219.0;
+    const double cf = (i - 128) * 255.0 / 224.0 + 128.0;
+    ylut[i] = static_cast<uint8_t>(
+        yf < 0 ? 0 : yf > 255 ? 255 : static_cast<int>(yf + 0.5));
+    clut[i] = static_cast<uint8_t>(
+        cf < 0 ? 0 : cf > 255 ? 255 : static_cast<int>(cf + 0.5));
+  }
+  const size_t ny = static_cast<size_t>(dst_h) * dst_w;
+  const size_t nc = static_cast<size_t>(dst_h / 2) * (dst_w / 2);
+  for (size_t i = 0; i < ny; ++i) y_dst[i] = ylut[y_dst[i]];
+  for (size_t i = 0; i < nc; ++i) cb_dst[i] = clut[cb_dst[i]];
+  for (size_t i = 0; i < nc; ++i) cr_dst[i] = clut[cr_dst[i]];
+  return 0;
+}
+
 #endif  // VT_HAVE_WEBP
 
 }  // extern "C"
