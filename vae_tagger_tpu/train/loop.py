@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import json
 import os
+import signal
 import time
 from typing import Callable, Optional
 
@@ -184,6 +185,21 @@ class EpochLoop:
                              if jax.process_count() == 1
                              and not getattr(args, "sync_checkpoints", False)
                              else None)
+        # Preemption-safe checkpointing: TPU VMs get a SIGTERM with a short
+        # grace window when preempted/maintenance-evicted.  run() installs a
+        # handler that finishes the in-flight step, writes the full train
+        # state to <output_dir>/interrupt_checkpoint and returns early with
+        # .interrupted set (trainers then skip their final-eval phase); the
+        # run resumes exactly (optimizer state, step count, schedule
+        # horizon) via --resume_from.  Single-process only: a collective
+        # orbax save triggered by a per-process signal flag would deadlock
+        # whichever process has not seen the signal yet.
+        self.interrupted = False
+        self._preempt = False
+        # deterministic drill hook (tests, preemption fire-drills): behave
+        # as if SIGTERM arrived after N train steps of this run
+        self._preempt_after = int(
+            os.environ.get("VAE_TAGGER_PREEMPT_AFTER_STEPS", "0") or 0)
 
     def _prefetched(self, loader):
         """Yield (device_batch, n_real) one batch ahead of the consumer, so
@@ -206,6 +222,25 @@ class EpochLoop:
             yield prev
 
     def run(self, state, lr_schedule=None):
+        installed = False
+        if jax.process_count() == 1:
+            def _on_sigterm(signum, frame):
+                self._preempt = True
+                print("SIGTERM received: checkpointing and exiting after "
+                      "the current step", flush=True)
+            try:
+                self._prev_sigterm = signal.signal(signal.SIGTERM,
+                                                   _on_sigterm)
+                installed = True
+            except ValueError:
+                pass  # not the main thread (e.g. a test harness worker)
+        try:
+            return self._run(state, lr_schedule)
+        finally:
+            if installed:
+                signal.signal(signal.SIGTERM, self._prev_sigterm)
+
+    def _run(self, state, lr_schedule=None):
         args = self.args
         # a restored state resumes the schedule and rng stream where it
         # stopped (num_epochs then means ADDITIONAL epochs); fresh states
@@ -251,8 +286,20 @@ class EpochLoop:
                     self._drain(pending.pop(0), train_losses, epoch,
                                 lr_schedule)
                 global_step += 1
+                if self._preempt or (
+                        self._preempt_after
+                        and global_step - first_step >= self._preempt_after):
+                    for item in pending:
+                        self._drain(item, train_losses, epoch, lr_schedule)
+                    if profiling:
+                        jax.profiler.stop_trace()
+                    self._interrupt_save(state)
+                    return state
             for item in pending:
                 self._drain(item, train_losses, epoch, lr_schedule)
+            if self._preempt:  # arrived between the last step and val
+                self._interrupt_save(state)
+                return state
 
             # batch losses weighted by real (non-padded) row counts so the
             # sampler's fixed-shape padding doesn't skew best-model selection
@@ -316,6 +363,21 @@ class EpochLoop:
         if self._ckpt_writer is not None:  # callers read the artifacts next
             self._ckpt_writer.wait()
         return state
+
+    def _interrupt_save(self, state):
+        """Synchronous full-state save on preemption; sets .interrupted so
+        callers skip their final-eval/export phases and exit fast (the
+        preemption grace window is short)."""
+        from ..io.orbax_io import save_train_state
+
+        if self._ckpt_writer is not None:
+            self._ckpt_writer.wait()  # don't race a best-epoch write
+        path = os.path.join(self.args.output_dir, "interrupt_checkpoint")
+        save_train_state(state, path)
+        self.interrupted = True
+        step = int(jax.device_get(state.step))
+        print(f"interrupt checkpoint saved at step {step}: {path}\n"
+              f"resume with --resume_from {path}", flush=True)
 
     def _checkpoint(self, callbacks, state, epoch):
         if self._ckpt_writer is None:

@@ -191,6 +191,10 @@ def train_full(args):
             schedule, args.weight_decay, args.max_grad_norm,
             args.gradient_accumulation_steps))
     state = loop.run(state, lr_schedule=schedule)
+    if loop.interrupted:  # preempted: state is checkpointed, exit fast
+        loop.save_history(args.output_dir)
+        print("training interrupted; skipping final evaluation")
+        return state
 
     print("training complete; final evaluation...")
     loop.save_history(args.output_dir)
