@@ -79,6 +79,52 @@ def _drive(server, payload):
     }
 
 
+def _drive_mixed(server, payload, mix=((512, 12), (1024, 4)),
+                 requests_per_client=4):
+    """Two-resolution client mix against ONE server: per-shape latency under
+    cross-shape contention (the fairness claim under test: server.py's
+    oldest-head-first cross-shape FIFO, serve/server.py::_take_batch)."""
+    def one(res):
+        url = f"http://127.0.0.1:{server.port}/classify?resolution={res}"
+        t0 = time.perf_counter()
+        req = urllib.request.Request(url, data=payload, method="POST")
+        with urllib.request.urlopen(req, timeout=600) as r:
+            json.load(r)
+        return res, time.perf_counter() - t0
+
+    for res, _ in mix:
+        one(res)  # warm both programs + connections
+    lat = {res: [] for res, _ in mix}
+    total_clients = sum(n for _, n in mix)
+    t0 = time.perf_counter()
+    with concurrent.futures.ThreadPoolExecutor(total_clients) as ex:
+        futs = [ex.submit(one, res)
+                for res, n in mix
+                for _ in range(n * requests_per_client)]
+        for f in concurrent.futures.as_completed(futs):
+            res, dt = f.result()
+            lat[res].append(dt)
+    wall = time.perf_counter() - t0
+    out = {"total_images_per_sec": round(sum(len(v) for v in lat.values())
+                                         / wall, 2),
+           "concurrent_clients": {str(res): n for res, n in mix}}
+    for res, vals in lat.items():
+        ms = np.sort(np.asarray(vals)) * 1000
+        out[f"{res}px"] = {
+            "requests": len(ms),
+            "p50_ms": round(float(ms[len(ms) // 2]), 1),
+            "p95_ms": round(float(ms[int(len(ms) * 0.95)]), 1),
+            "max_ms": round(float(ms[-1]), 1),
+        }
+    # starvation indicator: the minority shape's p95 must stay within the
+    # FIFO bound — at most ~(its own batch + one max_batch drain of every
+    # younger same-epoch majority batch) — we record the ratio vs the
+    # majority's p95; >> 3 would mean the minority is being starved
+    p95s = [out[f"{res}px"]["p95_ms"] for res, _ in mix]
+    out["minority_vs_majority_p95_ratio"] = round(p95s[1] / p95s[0], 2)
+    return out
+
+
 def main():
     from vae_tagger_tpu.serve import TaggerServer
 
@@ -103,12 +149,22 @@ def main():
         results["micro_batched_yuv420"]["images_per_sec"]
         / results["micro_batched"]["images_per_sec"], 2)
 
+    # mixed-shape fairness: a 512px majority flood + 1024px minority
+    # against one server holding both compiled programs (VERDICT r3 #10)
+    with TaggerServer(engine, resolution=(512, 1024), threshold=0.0,
+                      host="127.0.0.1", port=0, max_batch=8,
+                      batch_timeout_ms=10, max_queue=256,
+                      warmup=True) as server:
+        mixed = _drive_mixed(server, payload)
+        print("serving_mixed", mixed, flush=True)
+
     out = os.path.join(os.path.dirname(__file__), "report.json")
     report = {}
     if os.path.exists(out):
         with open(out) as f:
             report = json.load(f)
     report["serving_512px"] = results
+    report["serving_mixed"] = mixed
     with open(out, "w") as f:
         json.dump(report, f, indent=2)
     print(f"report updated: {out}")

@@ -37,7 +37,7 @@ RNG = np.random.default_rng(0)
 
 # (height, width, batch): the largest batch per bucket that fits a single
 # step (1024 bs2 exceeds HBM; 768x576 bs4 fits at 11.45 GB via the adaptive
-# stacked-triplet encode, steps.py::_STACK_PX_LIMIT)
+# stacked-triplet encode, steps.py::stack_px_limit())
 BUCKETS = [(512, 512, 8), (576, 768, 4), (1024, 1024, 1)]
 
 

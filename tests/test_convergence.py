@@ -77,3 +77,179 @@ def test_train_decoder_learns(tmp_path, workspace_vae):
     micro_ap = float((precision_at_k * hits).sum() / hits.sum())
     chance = float(labels.mean())  # AP of a random ranking
     assert micro_ap > 1.4 * chance, (micro_ap, chance)
+
+
+def _label_matrix(ds):
+    from vae_tagger_tpu.data.dataset import load_tag_names
+
+    data = json.loads(open(ds["data_json"]).read())
+    names = sorted(data.keys())
+    tag_names = load_tag_names(ds["tags_csv"])
+    idx = {t: i for i, t in enumerate(tag_names)}
+    labels = np.zeros((len(names), len(tag_names)), np.float32)
+    for row, name in enumerate(names):
+        for tag_str in data[name].split(","):
+            tag = tag_str.split(":")[0].strip()
+            if tag in idx:
+                labels[row, idx[tag]] = 1.0
+    return names, labels
+
+
+def _micro_ap(probs, labels):
+    order = np.argsort(-probs.ravel())
+    hits = labels.ravel()[order]
+    precision_at_k = np.cumsum(hits) / (np.arange(hits.size) + 1)
+    return float((precision_at_k * hits).sum() / hits.sum())
+
+
+def _semantic_margin(latents, labels):
+    """mean cosine distance(non-overlapping pairs) - mean cosine
+    distance(overlapping pairs) on flattened latents — the quantity the
+    triplet loss pushes positive (losses/metric_learning.py semantics)."""
+    z = latents.reshape(latents.shape[0], -1).astype(np.float64)
+    z = z / np.linalg.norm(z, axis=1, keepdims=True)
+    dist = 1.0 - z @ z.T
+    overlap = (labels @ labels.T) > 0
+    iu = np.triu_indices(len(z), k=1)
+    related = dist[iu][overlap[iu]]
+    unrelated = dist[iu][~overlap[iu]]
+    return float(unrelated.mean() - related.mean())
+
+
+def test_train_full_learns(tmp_path, workspace_vae):
+    """The flagship joint trainer must LEARN through every loss term: the
+    classification and triplet components both descend, the exported
+    checkpoint ranks true tags above chance through the engine round trip,
+    and the semantic margin (cosine distance of unrelated minus related
+    latent pairs) widens relative to the frozen random-init VAE — a broken
+    gradient path through the triplet or focal term fails this even when
+    the total loss stays finite (VERDICT r3 next #2)."""
+    from vae_tagger_tpu.infer import TaggerEngine
+    from vae_tagger_tpu.train.train_full import train_full
+
+    vae_dir = workspace_vae
+    ds = create_synthetic_dataset(str(tmp_path / "ds"), num_images=64,
+                                  img_size=32, seed=0)
+    out = tmp_path / "out"
+    args = make_trainer_args(vae_dir, ds, out, train_batch_size=1,
+                             num_epochs=12, learning_rate=1e-3)
+    train_full(args)
+
+    hist = json.loads((out / "training_history.json").read_text())
+    comp = hist["train_metrics"]
+    for key in ("classification_loss", "triplet_loss"):
+        series = comp[key]
+        assert np.mean(series[-2:]) < series[0], (key, series)
+    first, tail = hist["train_loss"][0], hist["train_loss"][-2:]
+    # the triplet term dominates the total and plateaus near its margin on
+    # a 12-epoch tiny run; the per-component asserts above are the sharp
+    # signal, the total just has to clearly move
+    assert np.mean(tail) < 0.85 * first, hist["train_loss"]
+
+    engine = TaggerEngine.load(
+        vae_checkpoint=str(out / "best_vae" /
+                           "diffusion_pytorch_model.safetensors"),
+        decoder_checkpoint=str(out / "best_decoder" / "pytorch_model.bin"),
+        tags_csv_path=ds["tags_csv"],
+        vae_config_path=str(out / "best_vae" / "config.json"))
+    names, labels = _label_matrix(ds)
+    imgs = np.stack([np.asarray(Image.open(n).convert("RGB"))
+                     for n in names])
+    probs = np.asarray(engine.classify(imgs))
+    micro_ap = _micro_ap(probs, labels)
+    chance = float(labels.mean())
+    assert micro_ap > 1.4 * chance, (micro_ap, chance)
+
+    # the TRAINED VAE separates related from unrelated images more than the
+    # random init it started from (the triplet term reached the encoder)
+    init_engine = TaggerEngine.load(
+        vae_checkpoint=f"{vae_dir}/diffusion_pytorch_model.safetensors",
+        decoder_checkpoint=str(out / "best_decoder" / "pytorch_model.bin"),
+        tags_csv_path=ds["tags_csv"],
+        vae_config_path=f"{vae_dir}/config.json")
+    margin_trained = _semantic_margin(np.asarray(engine.encode(imgs)), labels)
+    margin_init = _semantic_margin(np.asarray(init_engine.encode(imgs)),
+                                   labels)
+    assert margin_trained > margin_init, (margin_trained, margin_init)
+    assert margin_trained > 0, margin_trained
+
+
+def test_train_full_adaptive_weights_move(tmp_path, workspace_vae):
+    """CombinedLoss + --use_adaptive_weights trains the log-weights jointly
+    (reference train_full.py:177-178): after a short run they must have
+    moved off their zero init — a detached adaptive module fails here."""
+    import jax
+
+    from vae_tagger_tpu.train.train_full import train_full
+
+    ds = create_synthetic_dataset(str(tmp_path / "ds"), num_images=16,
+                                  img_size=32, seed=1)
+    args = make_trainer_args(workspace_vae, ds, tmp_path / "out",
+                             train_batch_size=1, num_epochs=2,
+                             learning_rate=1e-3, use_simplified_loss=False,
+                             use_adaptive_weights=True)
+    state = train_full(args)
+    adaptive = jax.device_get(state.params["adaptive"])
+    leaves = np.concatenate([np.ravel(l) for l in
+                             jax.tree.leaves(adaptive)])
+    assert np.abs(leaves).max() > 1e-6, leaves
+
+
+def test_train_vae_learns(tmp_path, workspace_vae):
+    """train_vae must learn: reconstruction and triplet components descend,
+    the trained VAE reconstructs better than its random init, and the
+    triplet objective is satisfied (unrelated pairs farther than related
+    ones in latent space)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vae_tagger_tpu.infer.engine import load_vae_bundle
+    from vae_tagger_tpu.models.autoencoder_kl import AutoencoderKL
+    from vae_tagger_tpu.ops.image import normalize_uint8
+    from vae_tagger_tpu.train.train_vae import train_vae
+
+    vae_dir = workspace_vae
+    ds = create_synthetic_dataset(str(tmp_path / "ds"), num_images=64,
+                                  img_size=32, seed=0)
+    out = tmp_path / "out"
+    args = make_trainer_args(vae_dir, ds, out, train_batch_size=1,
+                             num_epochs=8, learning_rate=1e-3)
+    train_vae(args)
+
+    hist = json.loads((out / "training_history.json").read_text())
+    comp = hist["train_metrics"]
+    for key in ("reconstruction_loss", "triplet_loss"):
+        series = comp[key]
+        assert np.mean(series[-2:]) < series[0], (key, series)
+
+    # recon quality: trained VAE beats the random init on the train images
+    names, labels = _label_matrix(ds)
+    imgs = np.stack([np.asarray(Image.open(n).convert("RGB"))
+                     for n in names])
+
+    def vae_outputs(ckpt_dir):
+        vae, params = load_vae_bundle(
+            f"{ckpt_dir}/diffusion_pytorch_model.safetensors",
+            f"{ckpt_dir}/config.json")
+
+        @jax.jit
+        def run(params, px):
+            x = normalize_uint8(px)
+            post = vae.apply({"params": params}, x,
+                             method=AutoencoderKL.encode)
+            recon = vae.apply({"params": params}, post.mode(),
+                              method=AutoencoderKL.decode)
+            mse = jnp.mean(jnp.square(recon.astype(jnp.float32)
+                                      - x.astype(jnp.float32)))
+            return mse, post.mode()
+
+        mse, latents = jax.device_get(run(params, imgs))
+        return float(mse), np.asarray(latents)
+
+    mse_trained, latents_trained = vae_outputs(str(out / "best_vae"))
+    mse_init, _ = vae_outputs(str(vae_dir))
+    assert mse_trained < mse_init, (mse_trained, mse_init)
+
+    # triplet satisfied on the trained latents
+    margin = _semantic_margin(latents_trained, labels)
+    assert margin > 0, margin

@@ -225,3 +225,121 @@ def test_sampler_pad_multiple(fixture_dataset):
         assert mask[:4] == [True] * 4 and mask[4:] == [False] * 4
         # pads duplicate the chunk's own rows in order
         assert indices[4:] == indices[:4]
+
+
+def test_sampler_epoch_deterministic_shuffle(fixture_dataset):
+    """Shuffle order is a pure function of (seed, epoch) — not of how many
+    epochs were iterated before — so a freshly constructed loader can replay
+    any epoch's exact batch stream (mid-epoch resume)."""
+    out, _ = fixture_dataset
+    ds = TaggedImageDataset(
+        json_path=f"{out}/data.json", tags_csv_path=f"{out}/tags.csv",
+        resolution=64, return_triplets=False, seed=0)
+    a = BucketBatchSampler(ds, batch_size=4, shuffle=True, seed=7)
+    b = BucketBatchSampler(ds, batch_size=4, shuffle=True, seed=7)
+    # advance `a` through two epochs first: epoch 2 must still match a
+    # fresh sampler's epoch 2
+    for e in range(3):
+        a.set_epoch(e)
+        order_a = list(a)
+    b.set_epoch(2)
+    assert order_a == list(b)
+    # same epoch re-iterated is identical; different epochs differ
+    assert list(b) == list(b)
+    b.set_epoch(3)
+    assert list(b) != order_a
+    # different seeds differ at the same epoch
+    c = BucketBatchSampler(ds, batch_size=4, shuffle=True, seed=8)
+    c.set_epoch(2)
+    assert list(c) != order_a
+
+
+def test_loader_skip_next(fixture_dataset):
+    """skip_next(n) drops exactly the first n batches of the next iteration
+    only (mid-epoch resume jumps past already-trained batches)."""
+    out, _ = fixture_dataset
+    ds = TaggedImageDataset(
+        json_path=f"{out}/data.json", tags_csv_path=f"{out}/tags.csv",
+        resolution=64, return_triplets=False, seed=0)
+    loader = DataLoader(ds, batch_size=4, shuffle=True, num_workers=2, seed=3)
+    loader.set_epoch(5)
+    full = [b["labels"] for b in loader]
+    loader.set_epoch(5)
+    loader.skip_next(2)
+    tail = [b["labels"] for b in loader]
+    assert len(tail) == len(full) - 2
+    for got, want in zip(tail, full[2:]):
+        np.testing.assert_array_equal(got, want)
+    # one-shot: the following iteration is full-length again
+    loader.set_epoch(5)
+    assert len(list(loader)) == len(full)
+
+
+def test_bucket_manifest_warm_restart_zero_opens(tmp_path, monkeypatch):
+    """Cold start writes a size manifest beside data.json; a warm restart
+    does ZERO image header opens for unchanged files, and only changed
+    files are re-read (the reference re-opens every image every run,
+    modules.py:553-556)."""
+    import vae_tagger_tpu.data.bucketing as bucketing_mod
+
+    out = str(tmp_path / "ds")
+    create_synthetic_dataset(out, num_images=12, img_size=64, seed=0)
+    opens = []
+    orig = bucketing_mod.read_image_size
+    monkeypatch.setattr(bucketing_mod, "read_image_size",
+                        lambda p: (opens.append(str(p)) or orig(p)))
+
+    kw = dict(json_path=f"{out}/data.json", tags_csv_path=f"{out}/tags.csv",
+              use_bucketing=True, base_resolution=32, max_resolution=64,
+              bucket_step=32, return_triplets=False, seed=0)
+    ds1 = TaggedImageDataset(**kw)
+    assert len(opens) == 12  # cold: every header read once
+    manifest_file = f"{out}/data.json.bucket_manifest.json"
+    import os
+    assert os.path.exists(manifest_file)
+
+    opens.clear()
+    ds2 = TaggedImageDataset(**kw)
+    assert opens == []  # warm: zero image opens
+    assert ds2.bucketing.image_buckets == ds1.bucketing.image_buckets
+
+    # a modified file (different mtime/size) is re-read; others are not
+    victim = ds1.image_paths[3]
+    from PIL import Image as _Image
+    _Image.new("RGB", (100, 40)).save(victim)
+    opens.clear()
+    ds3 = TaggedImageDataset(**kw)
+    assert opens == [str(victim)]
+    assert ds3.bucketing.image_buckets[str(victim)] == \
+        ds3.bucketing.assign_bucket_for_size(100, 40)
+
+    # kill switch
+    opens.clear()
+    monkeypatch.setenv("VAE_TAGGER_NO_BUCKET_MANIFEST", "1")
+    TaggedImageDataset(**kw)
+    assert len(opens) == 12
+
+
+def test_bucket_manifest_valid_across_grids(tmp_path):
+    """The manifest caches pixel sizes, not bucket ids: a manifest written
+    under one (base, max, step) grid assigns correctly under another."""
+    import os
+
+    import vae_tagger_tpu.data.bucketing as bucketing_mod
+
+    out = str(tmp_path / "ds")
+    create_synthetic_dataset(out, num_images=6, img_size=64, seed=0)
+    kw = dict(json_path=f"{out}/data.json", tags_csv_path=f"{out}/tags.csv",
+              use_bucketing=True, return_triplets=False, seed=0)
+    TaggedImageDataset(base_resolution=32, max_resolution=64,
+                       bucket_step=32, **kw)
+    # second grid, warm manifest: no opens, buckets follow the NEW grid
+    orig = bucketing_mod.read_image_size
+    try:
+        bucketing_mod.read_image_size = lambda p: (_ for _ in ()).throw(
+            AssertionError("warm restart must not open images"))
+        ds = TaggedImageDataset(base_resolution=64, max_resolution=64,
+                                bucket_step=64, **kw)
+    finally:
+        bucketing_mod.read_image_size = orig
+    assert set(ds.bucketing.image_buckets.values()) <= {(64, 64)}

@@ -1,4 +1,4 @@
-"""2-process jax.distributed integration test (CPU, local coordinator).
+"""Multi-process jax.distributed integration tests (CPU, local coordinator).
 
 VERDICT round-1 item 7: exercise the REAL multi-process path end-to-end —
 initialize_distributed -> make_mesh over 2 processes x 1 device ->
@@ -25,11 +25,21 @@ from vae_tagger_tpu.parallel.mesh import (
 initialize_distributed()  # env-configured coordinator (the real path)
 
 import jax
+
+# Warm up the collective clique BEFORE the big compiles: gloo context
+# creation has a hard 30s key-value rendezvous deadline, and N processes
+# time-sharing this 1-core host reach their first big-program collective
+# with minutes of skew.  A tiny all-device psum compiles in seconds with
+# low variance, so the contexts rendezvous while the processes are still
+# in lockstep.
+from jax.experimental import multihost_utils
+multihost_utils.sync_global_devices("worker-warmup")
 import jax.numpy as jnp
 import numpy as np
 
-assert jax.process_count() == 2, jax.process_count()
-assert jax.device_count() == 2
+NPROC = int(os.environ.get("VT_NPROC", "2"))
+assert jax.process_count() == NPROC, jax.process_count()
+assert jax.device_count() == NPROC
 
 import optax
 from vae_tagger_tpu.core.config import default_flux_vae_config
@@ -65,15 +75,16 @@ state = jax.tree.map(
     lambda x: x if hasattr(x, "sharding") and not isinstance(
         x, (int, float)) else jax.device_put(x, rep), state)
 
-# global batch 4, each process provides its contiguous half (rows 2p:2p+2)
+# global batch 2*NPROC, each process provides its 2-row slice
 p = jax.process_index()
+G = 2 * NPROC
 g = np.random.default_rng(0)
 full = {
-    "anchor": g.integers(0, 255, (4, 32, 32, 3), np.uint8),
-    "positive": g.integers(0, 255, (4, 32, 32, 3), np.uint8),
-    "negative": g.integers(0, 255, (4, 32, 32, 3), np.uint8),
-    "labels": g.random((4, 8), np.float32),
-    "positive_labels": g.random((4, 8), np.float32),
+    "anchor": g.integers(0, 255, (G, 32, 32, 3), np.uint8),
+    "positive": g.integers(0, 255, (G, 32, 32, 3), np.uint8),
+    "negative": g.integers(0, 255, (G, 32, 32, 3), np.uint8),
+    "labels": g.random((G, 8), np.float32),
+    "positive_labels": g.random((G, 8), np.float32),
 }
 local = {k: v[2 * p:2 * p + 2] for k, v in full.items()}
 batch = shard_batch(local, mesh)
@@ -90,10 +101,10 @@ save_train_state(state, ckpt_dir)  # collective across both processes
 eval_metrics = eval_step(state, batch, jax.random.key(4))
 eval_loss = float(jax.device_get(eval_metrics["loss"]))
 
-# --- padded/uneven tail batch: 3 real + 1 wrap-duplicate global rows ----
+# --- padded/uneven tail batch: G-1 real + 1 wrap-duplicate global rows --
 # (the loader pads partial batches by wrapping within the chunk; SPMD must
 # still agree on the loss even though one device carries the duplicate)
-tail_full = {k: np.concatenate([v[:3], v[:1]]) for k, v in full.items()}
+tail_full = {k: np.concatenate([v[:G - 1], v[:1]]) for k, v in full.items()}
 tail_local = {k: v[2 * p:2 * p + 2] for k, v in tail_full.items()}
 tail_metrics = eval_step(state, shard_batch(tail_local, mesh),
                          jax.random.key(5))
@@ -138,16 +149,22 @@ from vae_tagger_tpu.parallel.mesh import (
 initialize_distributed()
 
 import jax
+
+from jax.experimental import multihost_utils
+multihost_utils.sync_global_devices("restorer-warmup")  # see worker note
+
 import jax.numpy as jnp
 import numpy as np
 import optax
+
+NPROC = int(os.environ.get("VT_NPROC", "2"))
 from vae_tagger_tpu.core.config import default_flux_vae_config
 from vae_tagger_tpu.infer.engine import build_decoder
 from vae_tagger_tpu.io.orbax_io import restore_train_state
 from vae_tagger_tpu.models.autoencoder_kl import AutoencoderKL
 from vae_tagger_tpu.train.state import TrainState, build_optimizer
 
-assert jax.process_count() == 2
+assert jax.process_count() == NPROC
 
 cfg = default_flux_vae_config(block_out_channels=(8, 16, 16, 16),
                               norm_num_groups=4, latent_channels=16,
@@ -185,7 +202,7 @@ print(json.dumps({"process": jax.process_index(),
 """
 
 
-def _run_two_process(tmp_path, worker_src, name):
+def _run_processes(tmp_path, worker_src, name, nproc=2, _retry=False):
     port = socket.socket()
     port.bind(("localhost", 0))
     addr = f"localhost:{port.getsockname()[1]}"
@@ -193,31 +210,54 @@ def _run_two_process(tmp_path, worker_src, name):
 
     script = tmp_path / f"{name}.py"
     script.write_text(worker_src)
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
     procs = []
-    for p in (0, 1):
+    for p in range(nproc):
         env = dict(os.environ)
         env.update({
             "JAX_COORDINATOR_ADDRESS": addr,
-            "JAX_NUM_PROCESSES": "2",
+            "JAX_NUM_PROCESSES": str(nproc),
             "JAX_PROCESS_ID": str(p),
             "JAX_PLATFORMS": "cpu",
             "XLA_FLAGS": "--xla_force_host_platform_device_count=1",
             "VT_REPO": REPO,
             "VT_OUT": str(tmp_path),
+            "VT_NPROC": str(nproc),
             "PYTHONPATH": REPO,
+            # share the suite's persistent compile cache (subprocesses don't
+            # inherit conftest's jax.config calls; a 1-core host compiling
+            # the same programs nproc times over is the dominant cost here)
+            "JAX_COMPILATION_CACHE_DIR": cache_dir,
+            "JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS": "0.5",
+            "JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES": "-1",
         })
         procs.append(subprocess.Popen(
             [sys.executable, str(script)], env=env, cwd=REPO,
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
 
     results = []
+    outputs = []
     for proc in procs:
         out, _ = proc.communicate(timeout=900)
+        outputs.append(out)
+    gloo_flake = any("Gloo context initialization failed" in o
+                     for o in outputs)
+    if gloo_flake and not _retry:
+        # infra flake specific to this 1-core CI host: N contended
+        # processes can exceed gloo's 30s rendezvous deadline on their
+        # first collective despite the warm-up barrier.  One retry runs
+        # against the now-warm compile cache, so the skew collapses.
+        print("gloo rendezvous deadline hit; retrying once with a warm "
+              "compile cache")
+        return _run_processes(tmp_path, worker_src, name, nproc=nproc,
+                              _retry=True)
+    for proc, out in zip(procs, outputs):
         assert proc.returncode == 0, out
         line = [l for l in out.splitlines() if l.startswith("{")][-1]
         results.append(json.loads(line))
     results.sort(key=lambda r: r["process"])
-    assert [r["process"] for r in results] == [0, 1]
+    assert [r["process"] for r in results] == list(range(nproc))
     return results
 
 
@@ -225,7 +265,7 @@ def test_two_process_distributed_train_step(tmp_path):
     """Train step + eval step + padded tail batch + grad accumulation +
     collective save, then a FRESH 2-process group restores the checkpoint
     and must reproduce the trained params exactly (VERDICT r2 missing #4)."""
-    results = _run_two_process(tmp_path, _WORKER, "worker")
+    results = _run_processes(tmp_path, _WORKER, "worker")
     assert results[0]["main"] and not results[1]["main"]
     # SPMD: every global metric must be identical on both processes
     assert results[0]["loss"] == results[1]["loss"]
@@ -243,11 +283,30 @@ def test_two_process_distributed_train_step(tmp_path):
     assert results[0]["accum"] == results[1]["accum"]
 
     # fresh process group restores the collective checkpoint: params equal
-    restored = _run_two_process(tmp_path, _RESTORE_WORKER, "restorer")
+    restored = _run_processes(tmp_path, _RESTORE_WORKER, "restorer")
     for r in restored:
         assert r["step"] == results[0]["step"]
         assert abs(r["checksum"] - results[0]["checksum"]) < 1e-4, (
             r["checksum"], results[0]["checksum"])
+
+
+def test_four_process_distributed_train_step(tmp_path):
+    """The same worker over a 4-process group (VERDICT r3 next #6): train +
+    eval + padded tail + grad accumulation + collective save, then a fresh
+    4-process group restores the checkpoint and reproduces the params."""
+    results = _run_processes(tmp_path, _WORKER, "worker", nproc=4)
+    assert results[0]["main"] and not any(r["main"] for r in results[1:])
+    for key in ("loss", "eval_loss", "tail_loss", "checksum", "accum"):
+        assert all(r[key] == results[0][key] for r in results), key
+    assert all(r["ckpt_exists"] for r in results)
+    for r in results:
+        before, mid, after = r["accum"]
+        assert before == mid and after != mid
+
+    restored = _run_processes(tmp_path, _RESTORE_WORKER, "restorer", nproc=4)
+    for r in restored:
+        assert r["step"] == results[0]["step"]
+        assert abs(r["checksum"] - results[0]["checksum"]) < 1e-4
 
 
 def test_half_configured_env_is_fatal(tmp_path):

@@ -188,3 +188,33 @@ def test_groupnorm_silu_chunked_matches_reference(dtype, tol):
     np.testing.assert_allclose(np.asarray(out, np.float32),
                                np.asarray(ref, np.float32),
                                rtol=tol, atol=tol)
+
+
+def test_flash_attention_rectangular_q():
+    """q shorter than k/v (the spatially-sharded local-q form): forward
+    parity vs the XLA reference and gradients vs autodiff, across blocks
+    and with non-block-multiple lengths on BOTH axes."""
+    rng = np.random.default_rng(11)
+    q = jnp.asarray(rng.normal(size=(2, 192, 128)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(2, 448, 128)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(2, 448, 128)), jnp.float32)
+    ct = jnp.asarray(rng.normal(size=(2, 192, 128)), jnp.float32)
+
+    with pltpu.force_tpu_interpret_mode():
+        out, lse = _flash_attention_fwd_impl(q, k, v, block_q=128,
+                                             block_k=256)
+        _, vjp = jax.vjp(flash_attention, q, k, v)
+        dq, dk, dv = vjp(ct)
+
+    ref_out, ref_vjp = jax.vjp(_xla_attention, q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out),
+                               rtol=2e-4, atol=2e-4)
+    scores = np.einsum("bqd,bkd->bqk", q, k) / np.sqrt(q.shape[-1])
+    ref_lse = np.log(np.sum(np.exp(scores - scores.max(-1, keepdims=True)),
+                            axis=-1)) + scores.max(-1)
+    np.testing.assert_allclose(np.asarray(lse), ref_lse, rtol=1e-4,
+                               atol=1e-4)
+    for got, want in zip((dq, dk, dv), ref_vjp(ct)):
+        assert got.shape == want.shape
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-3, atol=2e-3)

@@ -226,3 +226,151 @@ def test_spatial_batch_rejects_indivisible_height(rng):
     batch = {"anchor": rng.integers(0, 256, (2, 36, 36, 3), dtype=np.uint8)}
     with pytest.raises(ValueError, match="divisible"):
         shard_batch_spatial(batch, mesh)
+
+
+# ---- shard_map flash attention under spatial parallelism (round 4) --------
+# GSPMD cannot partition the Pallas flash kernel; the spatial trace instead
+# routes the mid-block attention to a shard_map form: all-gather K/V across
+# the spatial axis, run the kernel on LOCAL q rows (rectangular).  On the
+# CPU mesh the kernel itself cannot run, so these tests force the shard_map
+# route (inner XLA) to pin the collective structure and its gradients, and
+# separately assert the kernel-dispatch decision with a recording stub.
+
+
+def test_spatial_sharded_attention_matches_xla(monkeypatch, rng):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from vae_tagger_tpu.ops import attention
+
+    mesh = make_mesh(("model",))
+    q = rng.normal(size=(2, 64, 16)).astype(np.float32)
+    k = rng.normal(size=(2, 64, 16)).astype(np.float32)
+    v = rng.normal(size=(2, 64, 16)).astype(np.float32)
+    ref = np.asarray(attention._xla_attention(*map(jnp.asarray, (q, k, v))))
+
+    monkeypatch.setattr(attention, "_FORCE_SPATIAL_SHARD_MAP", True)
+    spec = NamedSharding(mesh, P(None, "model"))
+    qs, ks, vs = (jax.device_put(t, spec) for t in (q, k, v))
+    with attention.spatial_attention_trace(mesh):
+        out = jax.jit(attention.spatial_single_head_attention)(qs, ks, vs)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5, atol=1e-5)
+
+
+def test_spatial_sharded_attention_gradients(monkeypatch, rng):
+    """Gradients flow through shard_map + all_gather identically to the
+    unsharded attention (the training-path requirement)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from vae_tagger_tpu.ops import attention
+
+    mesh = make_mesh(("model",))
+    q = rng.normal(size=(1, 64, 16)).astype(np.float32)
+    k = rng.normal(size=(1, 64, 16)).astype(np.float32)
+    v = rng.normal(size=(1, 64, 16)).astype(np.float32)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(attention._xla_attention(q, k, v) ** 2)
+
+    ref_grads = jax.grad(loss_ref, argnums=(0, 1, 2))(
+        *map(jnp.asarray, (q, k, v)))
+
+    monkeypatch.setattr(attention, "_FORCE_SPATIAL_SHARD_MAP", True)
+    spec = NamedSharding(mesh, P(None, "model"))
+    qs, ks, vs = (jax.device_put(t, spec) for t in (q, k, v))
+
+    def loss_sp(q, k, v):
+        return jnp.sum(attention.spatial_single_head_attention(q, k, v) ** 2)
+
+    with attention.spatial_attention_trace(mesh):
+        sp_grads = jax.jit(jax.grad(loss_sp, argnums=(0, 1, 2)))(qs, ks, vs)
+    for got, want in zip(sp_grads, ref_grads):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_spatial_flash_dispatch_decision(monkeypatch, rng):
+    """The flash kernel engages iff the LOCAL sequence (S / model-shards)
+    clears the measured crossover; the kernel sees local q rows against
+    all-gathered global K/V."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    import vae_tagger_tpu.ops.pallas.flash_attention as fa_mod
+    from vae_tagger_tpu.ops import attention
+
+    calls = []
+
+    def fake_flash(q, k, v):
+        calls.append((q.shape, k.shape))
+        return attention._xla_attention(q, k, v)
+
+    monkeypatch.setattr(fa_mod, "flash_attention", fake_flash)
+    # pretend the kernel is available (CPU test host) and lower the
+    # crossover so a 64-token grid is "long"
+    monkeypatch.setattr(attention.backend, "use_pallas",
+                        lambda op=None: True)
+    monkeypatch.setattr(attention, "_FLASH_MIN_SEQ", 8)
+    monkeypatch.setattr(attention, "_FLASH_MIN_SEQ_TRAIN", 8)
+
+    mesh = make_mesh(("model",))
+    q = rng.normal(size=(2, 64, 16)).astype(np.float32)
+    spec = NamedSharding(mesh, P(None, "model"))
+    qs = jax.device_put(q, spec)
+    ref = np.asarray(attention._xla_attention(*map(jnp.asarray,
+                                                   (q, q, q))))
+    with attention.spatial_attention_trace(mesh):
+        out = jax.jit(attention.spatial_single_head_attention)(qs, qs, qs)
+    assert calls, "flash kernel was not dispatched"
+    q_shape, k_shape = calls[0]
+    assert q_shape == (2, 64 // 8, 16)  # local q rows
+    assert k_shape == (2, 64, 16)       # all-gathered global K/V
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5, atol=1e-5)
+
+    # below the crossover the spatial trace stays on the GSPMD XLA path
+    calls.clear()
+    monkeypatch.setattr(attention, "_FLASH_MIN_SEQ", 4608)
+    monkeypatch.setattr(attention, "_FLASH_MIN_SEQ_TRAIN", 4096)
+    with attention.spatial_attention_trace(mesh):
+        out2 = jax.jit(attention.spatial_single_head_attention)(qs, qs, qs)
+    assert not calls
+    np.testing.assert_allclose(np.asarray(out2), ref, rtol=1e-5, atol=1e-5)
+
+
+def test_spatial_train_step_with_shard_map_attention(monkeypatch, rng):
+    """The full spatial train_full step with the shard_map attention route
+    forced must reproduce the single-device step exactly (loss + params) —
+    the parity gate for train_full --spatial_parallel once the local
+    sequence clears the kernel crossover on real hardware."""
+    from vae_tagger_tpu.ops import attention
+    from vae_tagger_tpu.parallel.mesh import replicate, shard_batch_spatial
+
+    fresh_state, (train_step, _) = _tiny_full_state_and_steps()
+    batch = {
+        "anchor": rng.integers(0, 256, (2, 64, 64, 3), dtype=np.uint8),
+        "positive": rng.integers(0, 256, (2, 64, 64, 3), dtype=np.uint8),
+        "negative": rng.integers(0, 256, (2, 64, 64, 3), dtype=np.uint8),
+        "labels": rng.random((2, 5)).astype(np.float32),
+        "positive_labels": rng.random((2, 5)).astype(np.float32),
+    }
+    key = jax.random.key(7)
+    ref_state, ref_metrics = train_step(fresh_state(), batch, key)
+
+    monkeypatch.setattr(attention, "_FORCE_SPATIAL_SHARD_MAP", True)
+    mesh = make_mesh(("model",))
+    from vae_tagger_tpu.losses.combined import LossConfig
+    from vae_tagger_tpu.train.steps import make_full_steps
+
+    model = AutoencoderKL(CFG)
+    decoder = build_decoder(5, use_attention=True, latent_channels=16)
+    sp_step, _ = make_full_steps(model, decoder,
+                                 LossConfig(use_focal_loss=True),
+                                 use_simplified=True,
+                                 force_xla_kernels=True, spatial_mesh=mesh)
+    sp_state = replicate(fresh_state(), mesh)
+    sp_batch = shard_batch_spatial(batch, mesh)
+    sp_state, sp_metrics = sp_step(sp_state, sp_batch, key)
+
+    np.testing.assert_allclose(float(sp_metrics["loss"]),
+                               float(ref_metrics["loss"]), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(jax.device_get(ref_state.params)),
+                    jax.tree.leaves(jax.device_get(sp_state.params))):
+        np.testing.assert_allclose(b, a, rtol=1e-4, atol=1e-6)

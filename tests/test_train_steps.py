@@ -314,7 +314,7 @@ def test_bs1_per_member_encode_matches_stacked(monkeypatch):
 
 
 def test_stacked_checkpoint_encode_respects_px_limit(monkeypatch):
-    """Above _STACK_PX_LIMIT the checkpointed encode must fall back to
+    """Above stack_px_limit() the checkpointed encode must fall back to
     per-member encodes (the memory bound that keeps 1024px bs1 in HBM) and
     still produce the same loss."""
     from vae_tagger_tpu.train import steps as steps_mod
@@ -336,9 +336,33 @@ def test_stacked_checkpoint_encode_respects_px_limit(monkeypatch):
         return float(metrics["loss"])
 
     loss_stacked = run()
-    monkeypatch.setattr(steps_mod, "_STACK_PX_LIMIT", 0)
+    monkeypatch.setattr(steps_mod, "_CACHED_PX_LIMIT", 0)
     loss_member = run()
     np.testing.assert_allclose(loss_stacked, loss_member, rtol=1e-5)
+
+
+def test_stack_px_limit_scales_with_device_hbm(monkeypatch):
+    """The stacking budget is computed from the device's reported HBM:
+    the 16 GB v5e reproduces the measured 7.2M-px limit exactly, larger
+    parts scale linearly, and backends that report nothing (CPU tests)
+    fall back to the measured v5e value."""
+    from vae_tagger_tpu.core import runtime
+    from vae_tagger_tpu.train import steps as steps_mod
+
+    monkeypatch.setattr(steps_mod, "_CACHED_PX_LIMIT", None)
+    monkeypatch.setenv("VAE_TAGGER_HBM_BYTES", str(runtime.V5E_HBM_BYTES))
+    assert steps_mod.stack_px_limit() == steps_mod._V5E_STACK_PX_LIMIT
+
+    monkeypatch.setattr(steps_mod, "_CACHED_PX_LIMIT", None)
+    monkeypatch.setenv("VAE_TAGGER_HBM_BYTES",
+                       str(6 * runtime.V5E_HBM_BYTES))
+    assert steps_mod.stack_px_limit() == 6 * steps_mod._V5E_STACK_PX_LIMIT
+
+    # CPU backend: device_hbm_bytes() is None -> measured v5e fallback
+    monkeypatch.setattr(steps_mod, "_CACHED_PX_LIMIT", None)
+    monkeypatch.delenv("VAE_TAGGER_HBM_BYTES", raising=False)
+    assert runtime.device_hbm_bytes() is None
+    assert steps_mod.stack_px_limit() == steps_mod._V5E_STACK_PX_LIMIT
 
 
 def test_training_determinism():

@@ -42,3 +42,38 @@ def enable_persistent_compile_cache() -> str | None:
         print(f"persistent compile cache unavailable ({e}); continuing")
         return None
     return cache_dir
+
+
+# What a 16 GB v5e reports as per-device bytes_limit.  Every measured memory
+# policy in this package (train/steps.py stacking budget) was calibrated on
+# that part; other parts scale linearly from it.  The real chip on this
+# build host reports this via jax.local_devices()[0].memory_stats().
+V5E_HBM_BYTES = 17_179_869_184  # 16 GiB
+
+
+def device_hbm_bytes() -> int | None:
+    """Per-device accelerator memory in bytes, or None when unknown.
+
+    Priority: ``VAE_TAGGER_HBM_BYTES`` env override > the device's
+    ``memory_stats()['bytes_limit']`` (TPU backends report it) > None (CPU
+    test backend, or a plugin that doesn't implement memory_stats).
+    Callers treat None as "assume the measured v5e baseline".
+    """
+    env = os.environ.get("VAE_TAGGER_HBM_BYTES")
+    if env:
+        try:
+            return int(env)
+        except ValueError:
+            print(f"warning: ignoring non-integer VAE_TAGGER_HBM_BYTES={env!r}")
+    try:
+        import jax
+
+        dev = jax.local_devices()[0]
+        if jax.default_backend() != "tpu":
+            return None  # CPU 'memory' is host RAM — not an HBM budget
+        stats = dev.memory_stats() or {}
+        limit = stats.get("bytes_limit") or stats.get(
+            "bytes_reservable_limit")
+        return int(limit) if limit else None
+    except Exception:
+        return None

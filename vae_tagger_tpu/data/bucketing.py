@@ -18,6 +18,7 @@ TPU-first differences:
 from __future__ import annotations
 
 import io
+import json
 import os
 import random
 from typing import Dict, List, Optional, Tuple
@@ -112,13 +113,19 @@ class AspectRatioBucketing:
                 best_bucket = (bw, bh)
         return best_bucket
 
-    def assign_bucket(self, image_path) -> Tuple[int, int]:
-        try:
-            with Image.open(image_path) as img:  # header read only
-                bucket = self.assign_bucket_for_size(*img.size)
-        except Exception as e:
-            print(f"warning: could not analyze image {image_path}: {e}")
-            bucket = (self.base_resolution, self.base_resolution)
+    def assign_bucket(self, image_path,
+                      manifest: Optional["ImageSizeManifest"] = None
+                      ) -> Tuple[int, int]:
+        """Assign by pixel size: manifest hit (no file open) or header read.
+        Unreadable images fall back to the square base bucket
+        (modules.py:219-222)."""
+        size = manifest.lookup(image_path) if manifest is not None else None
+        if size is None:
+            size = read_image_size(image_path)
+            if size is not None and manifest is not None:
+                manifest.record(image_path, size)
+        bucket = (self.assign_bucket_for_size(*size) if size is not None
+                  else (self.base_resolution, self.base_resolution))
         self.image_buckets[str(image_path)] = bucket
         return bucket
 
@@ -139,6 +146,103 @@ class AspectRatioBucketing:
             w, h = bucket
             print(f"{w}x{h} (ratio {w / h:.2f}): {count} images "
                   f"({100.0 * count / total:.1f}%)")
+
+
+def read_image_size(path) -> Optional[Tuple[int, int]]:
+    """(width, height) from the image header only (PIL lazy open); None on
+    unreadable files."""
+    try:
+        with Image.open(path) as img:
+            return img.size
+    except Exception as e:
+        print(f"warning: could not analyze image {path}: {e}")
+        return None
+
+
+class ImageSizeManifest:
+    """Persisted path -> (mtime_ns, file_size, width, height) cache.
+
+    Bucket assignment must know every image's pixel size; reading 1M image
+    headers on EVERY startup is the reference's scalability flaw
+    (/root/reference/modules.py:553-556 re-opens each file per run).  This
+    manifest makes warm restarts O(changed files): each path costs one
+    os.stat, and only files whose (mtime_ns, size) changed — or new ones —
+    get their header read again.  Pixel sizes (not bucket ids) are cached,
+    so a manifest written under one (base, max, step) bucket grid stays
+    valid under any other.
+
+    The manifest lives alongside data.json (``<data>.bucket_manifest.json``)
+    — keyed to the dataset, shared by every trainer/output dir.  Writes are
+    atomic (temp + rename) so concurrent trainers can race harmlessly;
+    unreadable datasets dirs degrade to a no-op cache.  Disable with
+    ``VAE_TAGGER_NO_BUCKET_MANIFEST=1``.
+    """
+
+    VERSION = 1
+
+    def __init__(self, manifest_file: Optional[str]):
+        self.path = manifest_file
+        self._entries: Dict[str, list] = {}
+        self._dirty = False
+        if manifest_file and os.path.exists(manifest_file):
+            try:
+                with open(manifest_file, "r", encoding="utf-8") as f:
+                    payload = json.load(f)
+                if payload.get("version") == self.VERSION:
+                    self._entries = payload.get("entries", {})
+            except Exception as e:
+                print(f"warning: ignoring bucket manifest {manifest_file}: {e}")
+
+    @classmethod
+    def for_dataset(cls, json_path) -> "ImageSizeManifest":
+        if os.environ.get("VAE_TAGGER_NO_BUCKET_MANIFEST") == "1":
+            return cls(None)
+        base = os.path.abspath(str(json_path))
+        return cls(base + ".bucket_manifest.json")
+
+    @staticmethod
+    def _stat_key(path) -> Optional[Tuple[int, int]]:
+        try:
+            st = os.stat(path)
+            return st.st_mtime_ns, st.st_size
+        except OSError:
+            return None
+
+    def lookup(self, path) -> Optional[Tuple[int, int]]:
+        """Cached (width, height) if the file is unchanged, else None."""
+        entry = self._entries.get(str(path))
+        if entry is None:
+            return None
+        key = self._stat_key(path)
+        if key is None or list(key) != entry[:2]:
+            return None
+        return int(entry[2]), int(entry[3])
+
+    def record(self, path, size: Tuple[int, int]) -> None:
+        key = self._stat_key(path)
+        if key is None:
+            return
+        self._entries[str(path)] = [key[0], key[1], int(size[0]),
+                                    int(size[1])]
+        self._dirty = True
+
+    def save(self) -> None:
+        if not self.path or not self._dirty:
+            return
+        tmp = f"{self.path}.tmp.{os.getpid()}"
+        try:
+            with open(tmp, "w", encoding="utf-8") as f:
+                json.dump({"version": self.VERSION, "entries": self._entries},
+                          f)
+            os.replace(tmp, self.path)
+            self._dirty = False
+        except OSError as e:  # read-only dataset dir: stay a warm-less cache
+            print(f"warning: could not write bucket manifest "
+                  f"{self.path}: {e}")
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
 
 
 def _native_smart_resize(img: Image.Image, width: int, height: int,

@@ -23,6 +23,7 @@ import numpy as np
 
 from .bucketing import (
     AspectRatioBucketing,
+    ImageSizeManifest,
     dummy_image,
     load_and_transform_image,
 )
@@ -124,8 +125,13 @@ class TaggedImageDataset:
             print("aspect-ratio bucketing enabled...")
             self.bucketing = AspectRatioBucketing(
                 base_resolution, max_resolution, bucket_step)
+            # Persisted size manifest beside data.json: warm restarts do
+            # ZERO image opens for unchanged files (one os.stat each) — the
+            # reference re-reads every header every run (modules.py:553-556)
+            manifest = ImageSizeManifest.for_dataset(json_path)
             for p in self.image_paths:
-                self.bucketing.assign_bucket(p)
+                self.bucketing.assign_bucket(p, manifest=manifest)
+            manifest.save()
             self.bucketing.print_bucket_info()
         else:
             self.bucketing = None

@@ -47,7 +47,13 @@ class BucketBatchSampler:
         else:
             self.device_batch_size = batch_size
         self.shuffle = shuffle
-        self._rng = random.Random(seed)
+        # Shuffle order is a pure function of (seed, epoch) — NOT of how many
+        # epochs were iterated before — so a resumed run replays the exact
+        # batch order of the epoch it was interrupted in (EpochLoop calls
+        # set_epoch, then skips the already-trained batches via
+        # DataLoader.skip_next for an exact data-position resume).
+        self._seed = 0 if seed is None else int(seed)
+        self._epoch = 0
         self.indices = list(indices) if indices is not None else list(
             range(len(dataset)))
 
@@ -60,13 +66,20 @@ class BucketBatchSampler:
         return sum(-(-len(g) // self.batch_size)
                    for g in self.bucket_groups.values())
 
+    def set_epoch(self, epoch: int) -> None:
+        """Pin this epoch's shuffle stream (deterministic, resumable)."""
+        self._epoch = int(epoch)
+
     def __iter__(self) -> Iterator[tuple]:
         """Yields (indices, mask) with len(indices) == device_batch_size."""
+        # int arithmetic, not a (seed, epoch) tuple: int hashing is stable
+        # across interpreter runs, str/tuple-of-str hashing is not
+        rng = random.Random(self._seed * 1_000_003 + self._epoch)
         batches = []
         for group in self.bucket_groups.values():
             order = list(group)
             if self.shuffle:
-                self._rng.shuffle(order)
+                rng.shuffle(order)
             for start in range(0, len(order), self.batch_size):
                 chunk = order[start:start + self.batch_size]
                 real = len(chunk)
@@ -84,7 +97,7 @@ class BucketBatchSampler:
                     mask.append(False)
                 batches.append((chunk, mask))
         if self.shuffle:
-            self._rng.shuffle(batches)
+            rng.shuffle(batches)
         return iter(batches)
 
 
@@ -136,9 +149,20 @@ class DataLoader:
         self.prefetch = max(1, prefetch_factor)
         self.process_index = process_index
         self.process_count = max(1, process_count)
+        self._skip_next = 0
 
     def __len__(self) -> int:
         return len(self.sampler)
+
+    def set_epoch(self, epoch: int) -> None:
+        self.sampler.set_epoch(epoch)
+
+    def skip_next(self, n: int) -> None:
+        """Drop the first ``n`` batches of the NEXT iteration only (exact
+        mid-epoch resume: set_epoch replays the interrupted epoch's order,
+        skip_next jumps past the batches already trained).  Skipped batches
+        are never decoded — the drop happens at the index level."""
+        self._skip_next = int(n)
 
     def _local_slice(self, indices, mask):
         """(local_indices, local_mask, global_real_count) — the count comes
@@ -154,6 +178,9 @@ class DataLoader:
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         batches = [self._local_slice(idx, mask)
                    for idx, mask in self.sampler]
+        if self._skip_next:
+            batches = batches[self._skip_next:]
+            self._skip_next = 0
         stop = threading.Event()
 
         def safe_put(item) -> bool:

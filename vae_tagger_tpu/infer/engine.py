@@ -331,16 +331,24 @@ class TaggerEngine:
     def _trace_backend(self):
         """Kernel-dispatch context for jit traces of this engine's programs.
 
-        Spatial mode forces the XLA op path at trace time: Pallas kernels
-        (flash attention, GN+SiLU) cannot be partitioned by GSPMD, and the
-        spatially-sharded mid-block sequence per chip is short enough that
-        XLA attention is the measured-right choice anyway (S=16384/8 = 2048
-        local rows < the 4608 flash crossover, ops/attention.py)."""
+        Spatial mode forces the XLA op path at trace time (Pallas kernels
+        cannot be partitioned by GSPMD) with ONE exception: the mid-block
+        attention enters spatial_attention_trace, which routes to a
+        shard_map all-gather-K/V + local-q flash-kernel form whenever the
+        LOCAL per-shard sequence clears the measured crossover — e.g.
+        1024px over model-axis 2 leaves 8192 local rows, kernel territory;
+        16384/8 = 2048 local rows stays on XLA (ops/attention.py)."""
         if self.spatial_axis is None:
             return contextlib.nullcontext()
         from ..ops import backend
+        from ..ops.attention import spatial_attention_trace
 
-        return backend.backend("xla")
+        stack = contextlib.ExitStack()
+        stack.enter_context(spatial_attention_trace(
+            self.mesh, spatial_axis=self.spatial_axis,
+            batch_axis=self.batch_axis))
+        stack.enter_context(backend.backend("xla"))
+        return stack
 
     def encode_async(self, pixels_uint8: np.ndarray):
         """Dispatch the encode without fetching: (device_latents, count).

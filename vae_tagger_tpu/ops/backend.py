@@ -42,6 +42,11 @@ _AUTO_POLICY = {
     "groupnorm_silu_chunked": False,
     "conv_fused": False,
 }
+# NOT in the policy and never dispatched: ops/winograd.py.  It is a complete,
+# parity-tested F(2x2,3x3) implementation kept strictly as negative-result
+# evidence — measured in-context it LOST to XLA's direct conv emitter at
+# every VAE stage shape (docs/PERF.md "Winograd"), so no production path
+# imports it.  Do not wire it here without a new on-chip measurement.
 
 
 def use_pallas(op: str | None = None) -> bool:

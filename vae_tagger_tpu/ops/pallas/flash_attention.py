@@ -89,19 +89,28 @@ def _flash_attention_fwd_impl(q, k, v, block_q: int = 512,
     # (512, 1024) measured fastest at the 16,384-token mid block on v5e:
     # 35.4 -> 33.7 ms (batch 8, bf16); 2048 needs >16MB scoped VMEM and
     # measures slightly worse (34.3).  See docs/PERF.md.
-    """Returns (out (B,S,D), lse (B,S) fp32)."""
-    b, s, d = q.shape
-    scale = 1.0 / (d ** 0.5)
-    block_q = min(block_q, _round_up(s, 128))
-    block_k = min(block_k, _round_up(s, 128))
-    s_pad = _round_up(s, max(block_q, block_k))
-    if s_pad != s:
-        pad = [(0, 0), (0, s_pad - s), (0, 0)]
-        q, k, v = (jnp.pad(t, pad) for t in (q, k, v))
+    """Returns (out (B,Sq,D), lse (B,Sq) fp32).
 
-    grid = (b, s_pad // block_q, s_pad // block_k)
+    q may have a different sequence length than k/v (rectangular
+    attention): the spatially-sharded form keeps LOCAL q rows and
+    all-gathered global k/v (ops/attention.py::_spatial_sharded_attention).
+    """
+    b, sq, d = q.shape
+    skv = k.shape[1]
+    scale = 1.0 / (d ** 0.5)
+    block_q = min(block_q, _round_up(sq, 128))
+    block_k = min(block_k, _round_up(skv, 128))
+    sq_pad = _round_up(sq, block_q)
+    skv_pad = _round_up(skv, block_k)
+    if sq_pad != sq:
+        q = jnp.pad(q, [(0, 0), (0, sq_pad - sq), (0, 0)])
+    if skv_pad != skv:
+        pad = [(0, 0), (0, skv_pad - skv), (0, 0)]
+        k, v = (jnp.pad(t, pad) for t in (k, v))
+
+    grid = (b, sq_pad // block_q, skv_pad // block_k)
     out, lse = pl.pallas_call(
-        functools.partial(_fwd_kernel, scale=scale, seq_len=s,
+        functools.partial(_fwd_kernel, scale=scale, seq_len=skv,
                           block_k=block_k),
         grid=grid,
         in_specs=[
@@ -119,8 +128,8 @@ def _flash_attention_fwd_impl(q, k, v, block_q: int = 512,
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((b, s_pad, d), q.dtype),
-            jax.ShapeDtypeStruct((b, s_pad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((b, sq_pad, d), q.dtype),
+            jax.ShapeDtypeStruct((b, sq_pad, 1), jnp.float32),
         ),
         scratch_shapes=[
             pltpu.VMEM((block_q, d), jnp.float32),
@@ -128,14 +137,14 @@ def _flash_attention_fwd_impl(q, k, v, block_q: int = 512,
             pltpu.VMEM((block_q, 128), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=4 * b * s_pad * s_pad * d,
-            bytes_accessed=4 * b * s_pad * d * q.dtype.itemsize,
-            transcendentals=b * s_pad * s_pad,
+            flops=4 * b * sq_pad * skv_pad * d,
+            bytes_accessed=4 * b * max(sq_pad, skv_pad) * d * q.dtype.itemsize,
+            transcendentals=b * sq_pad * skv_pad,
         ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=30 * 1024 * 1024),
     )(q, k, v)
-    return out[:, :s, :], lse[:, :s, 0]  # lse emitted (B, S_pad, 1)
+    return out[:, :sq, :], lse[:, :sq, 0]  # lse emitted (B, Sq_pad, 1)
 
 
 # --------------------------------------------------------------------------
@@ -223,22 +232,27 @@ def _flash_attention_bwd_impl(q, k, v, o, lse, g, block_q: int = 512,
                               block_k: int = 1024):
     # swept at the 16,384-token mid block (batch 4, bf16): (256,256) 28.2ms,
     # (512,512) 25.9, (512,1024) 25.3 — see docs/PERF.md
-    b, s, d = q.shape
+    b, sq, d = q.shape
+    skv = k.shape[1]
     scale = 1.0 / (d ** 0.5)
-    block_q = min(block_q, _round_up(s, 128))
-    block_k = min(block_k, _round_up(s, 128))
-    s_pad = _round_up(s, max(block_q, block_k))
+    block_q = min(block_q, _round_up(sq, 128))
+    block_k = min(block_k, _round_up(skv, 128))
+    sq_pad = _round_up(sq, block_q)
+    skv_pad = _round_up(skv, block_k)
 
     # D = rowsum(dO * O): one fused elementwise pass in XLA
     dmat = jnp.sum(g.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
 
-    if s_pad != s:
-        pad3 = [(0, 0), (0, s_pad - s), (0, 0)]
-        q, k, v, o, g = (jnp.pad(t, pad3) for t in (q, k, v, o, g))
+    if sq_pad != sq:
+        pad3 = [(0, 0), (0, sq_pad - sq), (0, 0)]
+        q, o, g = (jnp.pad(t, pad3) for t in (q, o, g))
         # padded q rows: L = +BIG so P == 0 exactly
-        lse = jnp.pad(lse, [(0, 0), (0, s_pad - s)],
+        lse = jnp.pad(lse, [(0, 0), (0, sq_pad - sq)],
                       constant_values=_POS_BIG)
-        dmat = jnp.pad(dmat, [(0, 0), (0, s_pad - s)])
+        dmat = jnp.pad(dmat, [(0, 0), (0, sq_pad - sq)])
+    if skv_pad != skv:
+        pad3 = [(0, 0), (0, skv_pad - skv), (0, 0)]
+        k, v = (jnp.pad(t, pad3) for t in (k, v))
     # (B, S_pad, 1) columns: S stays on sublanes so the kernels read a
     # per-row column block with zero broadcast traffic (VERDICT r2 weak #5:
     # the old (B, S, 128) lane broadcast cost ~67 MB x 3 of HBM per
@@ -246,10 +260,10 @@ def _flash_attention_bwd_impl(q, k, v, o, lse, g, block_q: int = 512,
     lse_b = lse[..., None]
     dmat_b = dmat[..., None]
 
-    nq, nk = s_pad // block_q, s_pad // block_k
+    nq, nk = sq_pad // block_q, skv_pad // block_k
 
     dq = pl.pallas_call(
-        functools.partial(_bwd_dq_kernel, scale=scale, seq_len=s,
+        functools.partial(_bwd_dq_kernel, scale=scale, seq_len=skv,
                           block_k=block_k),
         grid=(b, nq, nk),
         in_specs=[
@@ -268,19 +282,19 @@ def _flash_attention_bwd_impl(q, k, v, o, lse, g, block_q: int = 512,
         ],
         out_specs=pl.BlockSpec((1, block_q, d), lambda b_, qi, ki: (b_, qi, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, s_pad, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, sq_pad, d), q.dtype),
         scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
         cost_estimate=pl.CostEstimate(
-            flops=6 * b * s_pad * s_pad * d,
-            bytes_accessed=5 * b * s_pad * d * q.dtype.itemsize,
-            transcendentals=b * s_pad * s_pad,
+            flops=6 * b * sq_pad * skv_pad * d,
+            bytes_accessed=5 * b * max(sq_pad, skv_pad) * d * q.dtype.itemsize,
+            transcendentals=b * sq_pad * skv_pad,
         ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=30 * 1024 * 1024),
     )(q, k, v, g, lse_b, dmat_b)
 
     dk, dv = pl.pallas_call(
-        functools.partial(_bwd_dkv_kernel, scale=scale, seq_len=s,
+        functools.partial(_bwd_dkv_kernel, scale=scale, seq_len=skv,
                           block_k=block_k),
         grid=(b, nk, nq),
         in_specs=[
@@ -304,23 +318,23 @@ def _flash_attention_bwd_impl(q, k, v, o, lse, g, block_q: int = 512,
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((b, s_pad, d), k.dtype),
-            jax.ShapeDtypeStruct((b, s_pad, d), v.dtype),
+            jax.ShapeDtypeStruct((b, skv_pad, d), k.dtype),
+            jax.ShapeDtypeStruct((b, skv_pad, d), v.dtype),
         ),
         scratch_shapes=[
             pltpu.VMEM((block_k, d), jnp.float32),
             pltpu.VMEM((block_k, d), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=8 * b * s_pad * s_pad * d,
-            bytes_accessed=6 * b * s_pad * d * q.dtype.itemsize,
-            transcendentals=b * s_pad * s_pad,
+            flops=8 * b * sq_pad * skv_pad * d,
+            bytes_accessed=6 * b * max(sq_pad, skv_pad) * d * q.dtype.itemsize,
+            transcendentals=b * sq_pad * skv_pad,
         ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=30 * 1024 * 1024),
     )(q, k, v, g, lse_b, dmat_b)
 
-    return dq[:, :s, :], dk[:, :s, :], dv[:, :s, :]
+    return dq[:, :sq, :], dk[:, :skv, :], dv[:, :skv, :]
 
 
 # --------------------------------------------------------------------------

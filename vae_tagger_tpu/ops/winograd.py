@@ -23,6 +23,13 @@ the direct conv's own bf16 error).
 Reference behavior matched: diffusers ResnetBlock 3x3 SAME convs
 (/root/reference/diffusers_vae_loader.py:8-35 instantiates them via
 AutoencoderKL).
+
+STATUS: KEPT FOR EVIDENCE, NON-DISPATCHED.  Measured in-context on the
+v5e (benchmarks/winograd_probe.py, docs/PERF.md "Winograd"), this form
+lost to XLA's direct conv at every VAE stage shape, so it is deliberately
+absent from ops/backend.py's auto policy and no production path imports
+it.  It stays importable (with its parity tests) so the negative result
+remains reproducible; re-wire only with a new on-chip measurement.
 """
 
 from __future__ import annotations

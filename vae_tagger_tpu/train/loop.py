@@ -176,7 +176,11 @@ class EpochLoop:
         # micro-batch; log the LR the optimizer actually uses
         self.grad_accum = max(1, getattr(args, "gradient_accumulation_steps",
                                          1) or 1)
-        self.history = {"train_loss": [], "val_loss": [], "learning_rates": []}
+        # train_metrics carries per-epoch means of EVERY scalar the step
+        # reports (triplet/classification/recon/kl components...), so
+        # convergence can be asserted per loss term, not just in aggregate
+        self.history = {"train_loss": [], "val_loss": [],
+                        "learning_rates": [], "train_metrics": {}}
         self.best_val_loss = float("inf")
         # Multi-process saves are COLLECTIVE (orbax over sharded arrays) and
         # must stay synchronous on every process; single-process saves go
@@ -256,14 +260,28 @@ class EpochLoop:
                          if profile_steps else None)
         profiling = False
         # resumed runs continue the epoch numbering so triplet mining and
-        # shuffles don't replay the original run's streams
+        # shuffles don't replay the original run's streams; a MID-epoch
+        # resume replays the interrupted epoch's exact shuffle (sampler
+        # set_epoch) and skips the batches already trained, so the data
+        # position — not just optimizer state and schedule — is exact
         epoch_offset = first_step // max(1, len(self.train_loader))
+        resume_skip = first_step % max(1, len(self.train_loader))
         for epoch in range(args.num_epochs):
             dataset = getattr(self.train_loader, "dataset", None)
             if dataset is not None and hasattr(dataset, "set_epoch"):
                 dataset.set_epoch(epoch + epoch_offset)
+            if hasattr(self.train_loader, "set_epoch"):
+                self.train_loader.set_epoch(epoch + epoch_offset)
+            if hasattr(self.val_loader, "set_epoch"):
+                self.val_loader.set_epoch(epoch + epoch_offset)
+            if (epoch == 0 and resume_skip
+                    and hasattr(self.train_loader, "skip_next")):
+                print(f"mid-epoch resume: skipping {resume_skip} "
+                      f"already-trained batches of epoch {epoch_offset}")
+                self.train_loader.skip_next(resume_skip)
             epoch_t0 = time.perf_counter()
             train_losses = []
+            metric_acc = {}  # key -> [(value, weight)] for train_metrics
             pending = []  # (step, metrics) — read one step late (no sync)
             images_seen = 0
             for step, (batch, n_real) in enumerate(
@@ -283,20 +301,22 @@ class EpochLoop:
                 images_seen += n_real  # pads are duplicate rows
                 pending.append((step, global_step, metrics, n_real))
                 if len(pending) > 1:
-                    self._drain(pending.pop(0), train_losses, epoch,
-                                lr_schedule)
+                    self._drain(pending.pop(0), train_losses, metric_acc,
+                                epoch, lr_schedule)
                 global_step += 1
                 if self._preempt or (
                         self._preempt_after
                         and global_step - first_step >= self._preempt_after):
                     for item in pending:
-                        self._drain(item, train_losses, epoch, lr_schedule)
+                        self._drain(item, train_losses, metric_acc, epoch,
+                                lr_schedule)
                     if profiling:
                         jax.profiler.stop_trace()
                     self._interrupt_save(state)
                     return state
             for item in pending:
-                self._drain(item, train_losses, epoch, lr_schedule)
+                self._drain(item, train_losses, metric_acc, epoch,
+                                lr_schedule)
             if self._preempt:  # arrived between the last step and val
                 self._interrupt_save(state)
                 return state
@@ -315,11 +335,16 @@ class EpochLoop:
             val_pipeline = OneInFlight(drain_val)
             for i, (batch, n_real) in enumerate(
                     self._prefetched(self.val_loader)):
+                if self._preempt:  # SIGTERM mid-validation: save NOW, a
+                    break          # slow val pass can outlast the grace window
                 # distinct rng per val batch (sampling/dropout noise must
                 # not repeat across batches)
                 metrics = self.run_eval_step(state, batch, global_step + i)
                 val_pipeline.submit(metrics["loss"], n_real)
             val_pipeline.flush()
+            if self._preempt:
+                self._interrupt_save(state)
+                return state
 
             # epoch train loss weighted by real rows, consistent with the
             # val aggregation below (padded tail batches carry duplicates)
@@ -332,6 +357,12 @@ class EpochLoop:
             lr = (float(lr_schedule(global_step // self.grad_accum))
                   if lr_schedule else 0.0)
             self.history["train_loss"].append(avg_train)
+            for k, pairs in metric_acc.items():
+                weights = [w for _, w in pairs]
+                mean = (float(np.average([v for v, _ in pairs],
+                                         weights=weights))
+                        if pairs and sum(weights) else 0.0)
+                self.history["train_metrics"].setdefault(k, []).append(mean)
             self.history["val_loss"].append(avg_val)
             self.history["learning_rates"].append(lr)
 
@@ -356,6 +387,11 @@ class EpochLoop:
                 callbacks.append(self.on_periodic)
             if callbacks:  # best + periodic in one epoch share ONE fetch
                 self._checkpoint(callbacks, state, epoch)
+            if self._preempt:  # SIGTERM during epoch-end checkpointing:
+                # save the resumable state now rather than waiting for the
+                # next epoch's first train step to notice the flag
+                self._interrupt_save(state)
+                return state
         if profiling:  # run ended before profile_steps completed
             jax.profiler.stop_trace()
             print(f"profiler trace written to {args.output_dir}/profile "
@@ -398,7 +434,7 @@ class EpochLoop:
 
         self._ckpt_writer.submit(write_all)
 
-    def _drain(self, item, train_losses, epoch, lr_schedule):
+    def _drain(self, item, train_losses, metric_acc, epoch, lr_schedule):
         step, item_global_step, metrics, n_real = item
         # one transfer for the whole dict (each device_get is a host
         # round trip; this backend's dispatch RTT makes per-leaf gets
@@ -406,6 +442,8 @@ class EpochLoop:
         host_all = jax.device_get(metrics)
         host = {k: float(v) for k, v in host_all.items() if np.ndim(v) == 0}
         train_losses.append((host.get("loss", 0.0), max(n_real, 0)))
+        for k, v in host.items():
+            metric_acc.setdefault(k, []).append((v, max(n_real, 0)))
         if is_main_process() and step % self.args.logging_steps == 0:
             parts = [f"Epoch: {epoch}", f"Step: {step}"]
             for k in self.log_metric_keys:

@@ -46,10 +46,35 @@ from ..ops.image import normalize_uint8, yuv420_to_rgb_uint8
 
 # Stacked-triplet-encode pixel budget (padded_rows * H * W): above this the
 # checkpointed encode stays per-member to bound HBM (1024x1024 bs1 measured
-# 206MB over capacity stacked).  Measured fit points: 8x576x768 = 3.5M px
-# peaks 6.0 GB, 16x576x768 = 7.1M px peaks 11.45 GB (0.690 MFU) — the
-# limit admits up to ~11.5 GB peaks with ~4 GB headroom on a 16 GB v5e.
-_STACK_PX_LIMIT = 7_200_000
+# 206MB over capacity stacked).  Measured fit points ON THE 16 GB v5e:
+# 8x576x768 = 3.5M px peaks 6.0 GB, 16x576x768 = 7.1M px peaks 11.45 GB
+# (0.690 MFU) — 7.2M px admits up to ~11.5 GB peaks with ~4 GB headroom.
+# Peak memory is ~linear in pixels (measured slope 1.54 KB/px dominates the
+# 0.55 GB intercept), so the budget scales linearly with whatever HBM the
+# device actually reports (core/runtime.py::device_hbm_bytes — env override
+# VAE_TAGGER_HBM_BYTES) instead of silently under-engaging on larger parts
+# (a 95 GB v5p would otherwise lose the measured 2.15x stacking win).
+_V5E_STACK_PX_LIMIT = 7_200_000
+
+
+def stack_px_limit() -> int:
+    """Pixel budget for the stacked checkpointed triplet encode, derived
+    from this process's device memory.  Reproduces the measured 7.2M-px
+    v5e decision exactly (16 GB -> 7.2M px) and scales linearly elsewhere;
+    falls back to the v5e value when the backend reports no HBM size (CPU
+    tests, exotic plugins)."""
+    global _CACHED_PX_LIMIT
+    if _CACHED_PX_LIMIT is None:
+        from ..core.runtime import V5E_HBM_BYTES, device_hbm_bytes
+
+        hbm = device_hbm_bytes()
+        _CACHED_PX_LIMIT = (_V5E_STACK_PX_LIMIT if hbm is None
+                            else int(_V5E_STACK_PX_LIMIT * hbm
+                                     / V5E_HBM_BYTES))
+    return _CACHED_PX_LIMIT
+
+
+_CACHED_PX_LIMIT: Optional[int] = None
 
 # bs1 non-checkpoint triplet encodes run per-member on TPU (the 3-row
 # stacked encode measured ~2.1x slower per image; see _triplet_posterior).
@@ -91,7 +116,7 @@ def _triplet_posterior(vae: AutoencoderKL, vae_params, batch, compute_dtype,
     Adaptive stacking (round 3): per-member encodes at B < 8 run with
     sub-8 sublane rows — the measured ~3x per-pixel penalty (768x576 bs2:
     0.234 MFU per-member vs 0.671 at full rows).  When the sublane-padded
-    3B stack still bounds memory (padded_rows * H * W <= _STACK_PX_LIMIT —
+    3B stack still bounds memory (padded_rows * H * W <= stack_px_limit() —
     768x576 bs2 pads 6->8 and fits at 6.0 GB, bs4 at 11.45 GB; 1024x1024
     bs1 measured 206MB OVER HBM stacked, so it stays per-member), the
     checkpointed encode runs on the
@@ -151,7 +176,8 @@ def _triplet_posterior(vae: AutoencoderKL, vae_params, batch, compute_dtype,
     padded = -(-rows // 8) * 8
     # same inflation gate as the non-checkpoint branch: padding 3 rows to 8
     # would nearly triple compute — not worth full sublanes
-    if b % 8 and padded * h * w <= _STACK_PX_LIMIT and padded * 3 <= rows * 4:
+    if (b % 8 and padded * h * w <= stack_px_limit()
+            and padded * 3 <= rows * 4):
         # stacked + sublane-padded encode under ONE checkpoint: full-row
         # throughput, backward still holds one encode's state
         images = jnp.concatenate([batch["anchor"], batch["positive"],
@@ -170,18 +196,32 @@ def _triplet_posterior(vae: AutoencoderKL, vae_params, batch, compute_dtype,
         logvar=jnp.concatenate([lv for _, lv in parts], axis=0))
 
 
-def _kernel_ctx(force_xla: bool, training: bool):
+def _kernel_ctx(force_xla: bool, training: bool, spatial_mesh=None,
+                spatial_axis: str = "model"):
     """Trace-time kernel-dispatch context for a step body.
 
     force_xla=True routes every op to the XLA path — required under
     spatial (height-sharded) parallelism, where GSPMD cannot partition
-    hand-written Pallas kernels.  Otherwise gradient-carrying traces use
-    training_trace() (the measured training flash-attention crossover)
-    and eval traces keep the forward policy."""
+    hand-written Pallas kernels.  When the spatial MESH is also given, the
+    mid-block attention gets the one exception: a shard_map form that
+    all-gathers K/V over the spatial axis and runs the Pallas flash kernel
+    on local q rows whenever the local sequence clears the measured
+    crossover (ops/attention.py::spatial_attention_trace — entered BEFORE
+    the xla override so kernel capability is captured).  Otherwise
+    gradient-carrying traces use training_trace() (the measured training
+    flash-attention crossover) and eval traces keep the forward policy."""
     if force_xla:
         from ..ops import backend
+        from ..ops.attention import spatial_attention_trace
 
-        return backend.backend("xla")
+        stack = contextlib.ExitStack()
+        if training:
+            stack.enter_context(training_trace())
+        if spatial_mesh is not None:
+            stack.enter_context(spatial_attention_trace(
+                spatial_mesh, spatial_axis=spatial_axis, batch_axis=None))
+        stack.enter_context(backend.backend("xla"))
+        return stack
     return training_trace() if training else contextlib.nullcontext()
 
 
@@ -208,11 +248,12 @@ def _decoder_forward(decoder, params, batch_stats, latents, *, train, rng):
 
 def make_decoder_steps(vae: AutoencoderKL, decoder, cfg: LossConfig,
                        cb_weights=None, compute_dtype=jnp.float32,
-                       force_xla_kernels: bool = False):
+                       force_xla_kernels: bool = False, spatial_mesh=None):
     def encode(vae_params, pixels_uint8):
         # the VAE encode is the only long-sequence/kernel-bearing region of
         # a decoder step (the head's MHSA is 64 tokens, XLA path always)
-        with _kernel_ctx(force_xla_kernels, training=False):
+        with _kernel_ctx(force_xla_kernels, training=False,
+                         spatial_mesh=spatial_mesh):
             x = normalize_uint8(pixels_uint8, compute_dtype)
             posterior = vae.apply({"params": vae_params}, x,
                                   method=AutoencoderKL.encode)
@@ -282,7 +323,7 @@ def make_vae_steps(vae: AutoencoderKL, cfg: LossConfig,
                    use_simplified: bool = True,
                    compute_dtype=jnp.float32,
                    checkpoint_encode: bool = False,
-                   force_xla_kernels: bool = False):
+                   force_xla_kernels: bool = False, spatial_mesh=None):
     def forward_losses(vae_params, batch, rng):
         batch = resolve_transfer_format(batch)
         b = batch["anchor"].shape[0]
@@ -320,7 +361,8 @@ def make_vae_steps(vae: AutoencoderKL, cfg: LossConfig,
         # trace-time context: the VAE mid-block attention backward favors
         # the flash kernel one bucket earlier than forward-only dispatch
         # (or _kernel_ctx forces the XLA path under spatial parallelism)
-        with _kernel_ctx(force_xla_kernels, training=True):
+        with _kernel_ctx(force_xla_kernels, training=True,
+                         spatial_mesh=spatial_mesh):
             (_, metrics), grads = jax.value_and_grad(
                 lambda p: forward_losses(p, batch, rng), has_aux=True
             )(state.params)
@@ -329,7 +371,8 @@ def make_vae_steps(vae: AutoencoderKL, cfg: LossConfig,
 
     @jax.jit
     def eval_step(state, batch, rng):
-        with _kernel_ctx(force_xla_kernels, training=False):
+        with _kernel_ctx(force_xla_kernels, training=False,
+                         spatial_mesh=spatial_mesh):
             _, metrics = forward_losses(state.params, batch, rng)
         return metrics
 
@@ -344,7 +387,7 @@ def make_full_steps(vae: AutoencoderKL, decoder, cfg: LossConfig,
                     use_simplified: bool = True, adaptive_module=None,
                     cb_weights=None, compute_dtype=jnp.float32,
                     checkpoint_encode: bool = False,
-                    force_xla_kernels: bool = False):
+                    force_xla_kernels: bool = False, spatial_mesh=None):
     """Params tree: {'vae': ..., 'decoder': ..., ['adaptive': ...]}."""
 
     def forward_losses(params, batch_stats, batch, rng, *, train):
@@ -405,7 +448,8 @@ def make_full_steps(vae: AutoencoderKL, decoder, cfg: LossConfig,
         # trace-time context: see ops/attention.py::training_trace — the
         # attention backward shifts the measured flash crossover to S>=4096
         # (or _kernel_ctx forces the XLA path under spatial parallelism)
-        with _kernel_ctx(force_xla_kernels, training=True):
+        with _kernel_ctx(force_xla_kernels, training=True,
+                         spatial_mesh=spatial_mesh):
             (_, (metrics, new_stats, _)), grads = jax.value_and_grad(
                 lambda p: forward_losses(p, state.batch_stats, batch, rng,
                                          train=True),
@@ -415,7 +459,8 @@ def make_full_steps(vae: AutoencoderKL, decoder, cfg: LossConfig,
 
     @jax.jit
     def eval_step(state, batch, rng):
-        with _kernel_ctx(force_xla_kernels, training=False):
+        with _kernel_ctx(force_xla_kernels, training=False,
+                         spatial_mesh=spatial_mesh):
             _, (metrics, _, probs) = forward_losses(
                 state.params, state.batch_stats, batch, rng, train=False)
         metrics["probs"] = probs

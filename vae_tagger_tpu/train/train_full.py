@@ -135,7 +135,8 @@ def train_full(args):
         adaptive_module=adaptive_module, cb_weights=cb_weights,
         compute_dtype=policy.compute_dtype,
         checkpoint_encode=getattr(args, "remat", False),
-        force_xla_kernels=spatial)
+        force_xla_kernels=spatial,
+        spatial_mesh=mesh if spatial else None)
     base_rng = jax.random.key(args.seed or 0)
 
     def run_train(state, batch, global_step):
@@ -233,7 +234,8 @@ def train_full(args):
         sb = ((shard_batch_spatial if spatial else shard_batch)(pix, mesh))
         from .steps import _kernel_ctx
 
-        with _kernel_ctx(spatial, training=False):
+        with _kernel_ctx(spatial, training=False,
+                         spatial_mesh=mesh if spatial else None):
             return _predict(state.params, state.batch_stats, sb)
 
     # ONE val inference pass shared by threshold search and final eval

@@ -77,7 +77,8 @@ def train_vae(args):
         vae, cfg, use_simplified=args.use_simplified_vae_loss,
         compute_dtype=policy.compute_dtype,
         checkpoint_encode=getattr(args, "remat", False),
-        force_xla_kernels=spatial)
+        force_xla_kernels=spatial,
+        spatial_mesh=mesh if spatial else None)
     base_rng = jax.random.key(args.seed or 0)
 
     def run_train(state, batch, global_step):
@@ -127,5 +128,10 @@ def train_vae(args):
             getattr(args, "gradient_accumulation_steps", 1)))
     state = loop.run(state, lr_schedule=schedule)
     loop.save_history(args.output_dir)
+    if loop.interrupted:  # preempted: state is checkpointed, exit fast
+        # (train_vae has no final-eval phase, but keep the three trainers'
+        # completion messaging consistent)
+        print("training interrupted; history saved")
+        return state
     print("VAE training complete")
     return state
