@@ -446,3 +446,41 @@ def test_dataset_yuv_items_match_rgb_items(tmp_path):
     with pytest.raises(ValueError):
         TaggedImageDataset(transfer_format="yuv420",
                            **{**kw, "resolution": 33})
+
+
+def test_yuv_output_perturbation_bounded():
+    """The YUV 4:2:0 wire format's entire numeric effect is the chroma
+    subsample; this pins the resulting OUTPUT perturbation (probability
+    delta through encode+classify) to the noise floor measured on the
+    trained model (benchmarks/accuracy.py, report.json
+    infer_full_e2e_1024px_yuv420.quality_vs_rgb: mean logit delta 0.009,
+    4/360 prediction flips, macro-F1 delta +0.008)."""
+    from vae_tagger_tpu.data.bucketing import (
+        decode_bytes_square,
+        decode_bytes_square_yuv,
+    )
+
+    import io
+
+    from PIL import Image
+
+    engine = _tiny_engine()
+    payloads = []
+    for i in range(4):
+        buf = io.BytesIO()
+        Image.fromarray(_photo(96, 112, seed=60 + i)).save(
+            buf, "JPEG", quality=92)
+        payloads.append(buf.getvalue())
+
+    rgb = np.stack([decode_bytes_square(p, 64) for p in payloads])
+    planes = [decode_bytes_square_yuv(p, 64) for p in payloads]
+    y = np.stack([p[0] for p in planes])
+    cbcr = np.stack([p[1] for p in planes])
+
+    probs_rgb = np.asarray(engine.classify(rgb))
+    probs_dev, n = engine.classify_yuv_async(y, cbcr)
+    probs_yuv = np.asarray(probs_dev)[:n]
+
+    delta = np.abs(probs_rgb - probs_yuv)
+    assert float(delta.mean()) < 0.02, delta.mean()
+    assert float(delta.max()) < 0.10, delta.max()

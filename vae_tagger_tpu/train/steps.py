@@ -68,9 +68,16 @@ def stack_px_limit() -> int:
         from ..core.runtime import V5E_HBM_BYTES, device_hbm_bytes
 
         hbm = device_hbm_bytes()
-        _CACHED_PX_LIMIT = (_V5E_STACK_PX_LIMIT if hbm is None
-                            else int(_V5E_STACK_PX_LIMIT * hbm
-                                     / V5E_HBM_BYTES))
+        if hbm is None or abs(hbm - V5E_HBM_BYTES) < 0.1 * V5E_HBM_BYTES:
+            # no report (this build host's tunneled backend returns no
+            # memory_stats; verified on-chip), or a part within 10% of the
+            # measured v5e: use the measured limit verbatim — PJRT backends
+            # reserve slightly different fractions and a few-percent scale
+            # must not perturb a decision calibrated on this exact part
+            _CACHED_PX_LIMIT = _V5E_STACK_PX_LIMIT
+        else:
+            _CACHED_PX_LIMIT = int(_V5E_STACK_PX_LIMIT * hbm
+                                   / V5E_HBM_BYTES)
     return _CACHED_PX_LIMIT
 
 
