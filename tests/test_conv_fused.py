@@ -148,3 +148,49 @@ def test_resnet_block_fused_path_matches_unfused(rng, out_ch):
 def test_plan_rejects_latent_side_convs():
     assert plan_fused_conv(128, 128, 512, 32, None, 2) is None   # conv_out
     assert plan_fused_conv(128, 128, 16, 512, None, 2) is None   # conv_in dec
+
+
+def test_nchw_island_matches_nhwc():
+    """The NCHW-island layout experiment (ops/conv.py::nchw_island_trace)
+    is math-identical to the NHWC conv: same outputs for eligible 3x3
+    convs, strided/1x1/large-channel convs untouched."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vae_tagger_tpu.ops.conv import conv_nhwc, nchw_island_trace
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 12, 16, 8)), jnp.float32)
+    k3 = jnp.asarray(rng.normal(size=(3, 3, 8, 12)), jnp.float32)
+    k1 = jnp.asarray(rng.normal(size=(1, 1, 8, 12)), jnp.float32)
+
+    base3 = conv_nhwc(x, k3)
+    base3s = conv_nhwc(x, k3, strides=(2, 2), padding=((0, 1), (0, 1)))
+    base1 = conv_nhwc(x, k1)
+    with nchw_island_trace(8):
+        np.testing.assert_allclose(np.asarray(conv_nhwc(x, k3)),
+                                   np.asarray(base3), rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(conv_nhwc(x, k3, strides=(2, 2),
+                                 padding=((0, 1), (0, 1)))),
+            np.asarray(base3s), rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(conv_nhwc(x, k1)),
+                                   np.asarray(base1), rtol=1e-6, atol=1e-6)
+    with nchw_island_trace(4):  # channels above the cap stay NHWC
+        out = conv_nhwc(x, k3)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(base3),
+                               rtol=1e-6, atol=1e-6)
+
+    # gradients flow through the island identically
+    def loss_fn(x, use_island):
+        import contextlib
+
+        ctx = nchw_island_trace(8) if use_island else contextlib.nullcontext()
+        with ctx:
+            return jnp.sum(conv_nhwc(x, k3) ** 2)
+
+    g_base = jax.grad(lambda x: loss_fn(x, False))(x)
+    g_isl = jax.grad(lambda x: loss_fn(x, True))(x)
+    np.testing.assert_allclose(np.asarray(g_isl), np.asarray(g_base),
+                               rtol=1e-5, atol=1e-5)

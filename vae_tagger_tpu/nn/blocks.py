@@ -85,10 +85,10 @@ class Conv2D(nn.Module):
             return conv2d_slabbed(
                 x.astype(self.dtype), kernel.astype(self.dtype),
                 bias.astype(self.dtype), strides=self.strides)
-        out = jax.lax.conv_general_dilated(
-            x.astype(self.dtype), kernel.astype(self.dtype),
-            self.strides, self.padding,
-            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        from ..ops.conv import conv_nhwc
+
+        out = conv_nhwc(x.astype(self.dtype), kernel.astype(self.dtype),
+                        self.strides, self.padding)
         return out + bias.astype(self.dtype)
 
 

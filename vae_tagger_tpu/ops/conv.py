@@ -189,6 +189,49 @@ def conv2d_slabbed(x, kernel, bias, *, strides=(1, 1), n_slabs=None,
     return out.reshape(b, s * h_out, w_out, out.shape[-1])
 
 
+# --------------------------------------------------------------------------
+# NCHW-island experiment hook (round 4, VERDICT r3 weak #1 / next #8)
+# --------------------------------------------------------------------------
+# The 1024px bs1 backward trace shows ~97 ms/step of XLA-internal layout
+# copies on STAGE-0 activations (bf16[1024,8,130,128] {3,1,2,0}->{3,0,2,1}
+# between fusion outputs and conv inputs; docs/PERF.md).  Layout assignment
+# has no JAX-level handle, but dimension_numbers do: this context reroutes
+# small-channel 3x3 convs through an explicit NCHW island (transpose ->
+# NCHW conv -> transpose back), letting XLA pick different layouts for the
+# stage-0 region.  OFF by default — it exists for the measured A/B in
+# benchmarks/bs1_layout_probe.py; see docs/PERF.md for the verdict.
+
+_NCHW_MAX_C = 0
+
+
+@contextlib.contextmanager
+def nchw_island_trace(max_channels: int = 128):
+    """Trace-time context: 3x3 convs with c_in <= max_channels run as an
+    explicit NCHW island (layout experiment; math-identical)."""
+    global _NCHW_MAX_C
+    prev = _NCHW_MAX_C
+    _NCHW_MAX_C = int(max_channels)
+    try:
+        yield
+    finally:
+        _NCHW_MAX_C = prev
+
+
+def conv_nhwc(x, kernel, strides=(1, 1), padding="SAME", **kw):
+    """One owner of the NHWC lax conv call; under nchw_island_trace,
+    eligible 3x3 convs run via an NCHW island instead."""
+    if (_NCHW_MAX_C and kernel.shape[0] == 3 and kernel.shape[1] == 3
+            and x.shape[-1] <= _NCHW_MAX_C):
+        xt = jnp.transpose(x, (0, 3, 1, 2))
+        out = jax.lax.conv_general_dilated(
+            xt, kernel, strides, padding,
+            dimension_numbers=("NCHW", "HWIO", "NCHW"), **kw)
+        return jnp.transpose(out, (0, 2, 3, 1))
+    return jax.lax.conv_general_dilated(
+        x, kernel, strides, padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), **kw)
+
+
 def group_stats(x, num_groups: int):
     """Per-(sample, group) fp32 mean and E[x^2] in one pass over x."""
     n, h, w, c = x.shape
@@ -221,10 +264,8 @@ def _make_fused(num_groups: int, eps: float, has_res: bool, has_sc: bool):
     def reference(x, gn_scale, gn_bias, kernel, bias, *rest):
         y = group_norm(x, gn_scale, gn_bias, num_groups=num_groups, eps=eps)
         y = y * jax.nn.sigmoid(y.astype(jnp.float32)).astype(y.dtype)
-        out = jax.lax.conv_general_dilated(
-            y, kernel.astype(y.dtype), (1, 1), "SAME",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32)
+        out = conv_nhwc(y, kernel.astype(y.dtype), (1, 1), "SAME",
+                        preferred_element_type=jnp.float32)
         out = out + bias.astype(jnp.float32)
         if has_sc:
             residual, sck, scb = rest
