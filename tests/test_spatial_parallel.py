@@ -317,6 +317,10 @@ def test_spatial_flash_dispatch_decision(monkeypatch, rng):
     qs = jax.device_put(q, spec)
     ref = np.asarray(attention._xla_attention(*map(jnp.asarray,
                                                    (q, q, q))))
+    # the dispatch decision is made at TRACE time; earlier tests jit this
+    # same function at these exact shapes/shardings, and a compiled-cache
+    # hit would skip tracing entirely — force a fresh trace
+    jax.clear_caches()
     with attention.spatial_attention_trace(mesh):
         out = jax.jit(attention.spatial_single_head_attention)(qs, qs, qs)
     assert calls, "flash kernel was not dispatched"
@@ -329,6 +333,7 @@ def test_spatial_flash_dispatch_decision(monkeypatch, rng):
     calls.clear()
     monkeypatch.setattr(attention, "_FLASH_MIN_SEQ", 4608)
     monkeypatch.setattr(attention, "_FLASH_MIN_SEQ_TRAIN", 4096)
+    jax.clear_caches()
     with attention.spatial_attention_trace(mesh):
         out2 = jax.jit(attention.spatial_single_head_attention)(qs, qs, qs)
     assert not calls
