@@ -213,7 +213,12 @@ def main():
                  "(measured 60-82 ms/image across same-day runs — compare "
                  "rgb vs yuv420 within one run, not across runs).  The "
                  "production roofline (decode vs compute) is what the "
-                 "pipeline achieves on a real host."),
+                 "pipeline achieves on a real host.  Its decode term is "
+                 "the SERIAL single-core figure measured on this 1-core "
+                 "host; it assumes only that a production host gives the "
+                 "decode pool >= 1 core per TPU stream (decode_ms <= "
+                 "compute_ms already holds serially, so any extra pool "
+                 "scaling is headroom, not a requirement)."),
     }
     print(json.dumps(entry, indent=2))
 

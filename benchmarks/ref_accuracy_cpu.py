@@ -21,9 +21,13 @@ ACTUAL code end-to-end on this host and scoring it with its own evaluator:
 
 64px keeps the reference's un-jitted CPU epochs in minutes.  Run:
   env PYTHONPATH=/root/repo PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu \
-      python benchmarks/ref_accuracy_cpu.py
+      python benchmarks/ref_accuracy_cpu.py [--trainer full]
+--trainer full runs the same head-to-head on the FLAGSHIP joint trainer
+(reference train_full.py: VAE gradients + simplified combined loss with
+triplet/recon/KL terms) and writes
+report.json::accuracy_parity_cpu_64px_train_full.
 (Reference counterparts: /root/reference/train_decoder.py:30-280,
- evaluation.py:56-77.)
+ /root/reference/train_full.py:30-399, evaluation.py:56-77.)
 """
 
 from __future__ import annotations
@@ -73,27 +77,128 @@ def sh(argv, log_path, env=None, cwd=REPO):
     return time.perf_counter() - t0
 
 
+def score_vae_export(export_dir: str, ds_dir: str, resolution: int = 64,
+                     n_triplets: int = 64) -> dict:
+    """Neutral scorer for an exported diffusers-layout VAE directory.
+
+    Loads the export through io/safetensors_io (the same loader both
+    trainers' checkpoints already round-trip through in CI), then on a
+    FIXED held-out image set (ds_dir/holdout.json, never shown to either
+    trainer) computes:
+      - recon MSE / PSNR: fp32 mode-latent encode -> decode, [-1,1] scale,
+        PSNR = 20log10(2) - 10log10(MSE) (the reference
+        vae_reconstruction_test.py:137-138 convention);
+      - triplet accuracy: fraction of seeded (anchor, positive, negative)
+        tag triplets with cosine d(a,p) < d(a,n) on flattened mean latents
+        — the ordering train_vae's metric-learning loss optimizes
+        (/root/reference/train_vae.py:166-171).
+    Identical code scores both sides, so any asymmetry is the training.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vae_tagger_tpu.data.bucketing import load_and_transform_image
+    from vae_tagger_tpu.io.safetensors_io import load_vae_pretrained_dir
+    from vae_tagger_tpu.models.autoencoder_kl import AutoencoderKL
+    from vae_tagger_tpu.ops.image import normalize_uint8
+
+    cfg, params = load_vae_pretrained_dir(export_dir)
+    model = AutoencoderKL(cfg)
+
+    with open(os.path.join(ds_dir, "holdout.json")) as f:
+        entries = json.load(f)
+    paths = sorted(entries)
+    tag_sets = [{t.split(":")[0].strip() for t in entries[p].split(",")}
+                for p in paths]
+    imgs = np.stack([load_and_transform_image(p, resolution=resolution)
+                     for p in paths])
+
+    @jax.jit
+    def run(p, px):
+        x = normalize_uint8(px)
+        post = model.apply({"params": p}, x, method=AutoencoderKL.encode)
+        mu = post.mode()
+        recon = model.apply({"params": p}, mu, method=AutoencoderKL.decode)
+        return jnp.mean(jnp.square(recon - x)), mu
+
+    mse, mu = jax.device_get(run(params, jnp.asarray(imgs)))
+    z = np.asarray(mu, np.float64).reshape(len(paths), -1)
+    z = z / np.linalg.norm(z, axis=1, keepdims=True)
+
+    rng = np.random.RandomState(0)
+    correct = total = 0
+    for _ in range(n_triplets):
+        a = rng.randint(len(paths))
+        pos = [j for j in range(len(paths))
+               if j != a and tag_sets[j] & tag_sets[a]]
+        neg = [j for j in range(len(paths))
+               if j != a and not (tag_sets[j] & tag_sets[a])]
+        if not pos or not neg:
+            continue
+        p_i = pos[rng.randint(len(pos))]
+        n_i = neg[rng.randint(len(neg))]
+        # cosine distance ordering on unit-norm latents
+        if z[a] @ z[p_i] > z[a] @ z[n_i]:
+            correct += 1
+        total += 1
+    psnr = 20 * np.log10(2) - 10 * np.log10(mse)
+    return {"recon_mse": round(float(mse), 5),
+            "recon_psnr_db": round(float(psnr), 2),
+            "triplet_accuracy": round(correct / max(total, 1), 4),
+            "n_triplets_scored": total}
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--workspace", default=os.path.join(
-        REPO, "benchmarks", "_acc_runs", "parity64"))
+    ap.add_argument("--trainer", choices=["decoder", "full", "vae"],
+                    default="decoder",
+                    help="decoder: frozen-VAE head trainer (ref "
+                         "train_decoder.py).  full: the flagship joint "
+                         "VAE+head trainer (ref train_full.py, simplified "
+                         "combined loss with triplet + recon + KL).  vae: "
+                         "VAE-only metric learning (ref train_vae.py); "
+                         "both exported best_vae/ dirs are scored by one "
+                         "neutral jitted scorer (recon MSE/PSNR + latent "
+                         "triplet ordering) on the same held-out images.")
+    ap.add_argument("--workspace", default=None)
     ap.add_argument("--images", type=int, default=240)
     ap.add_argument("--epochs", type=int, default=8)
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--skip_report", action="store_true")
     args = ap.parse_args()
+    if args.workspace is None:
+        args.workspace = os.path.join(
+            REPO, "benchmarks", "_acc_runs",
+            {"decoder": "parity64", "full": "parity64_full",
+             "vae": "parity64_vae"}[args.trainer])
 
     ws = args.workspace
     os.makedirs(ws, exist_ok=True)
 
     from vae_tagger_tpu.utils import create_synthetic_dataset
 
+    # vae mode scores both exports on a TRUE holdout: generate 24 extra
+    # images, train on the first args.images only, score on the rest.
+    holdout = 24 if args.trainer == "vae" else 0
     ds_dir = os.path.join(ws, "ds")
     if not os.path.exists(os.path.join(ds_dir, "data.json")):
-        create_synthetic_dataset(ds_dir, num_images=args.images,
+        create_synthetic_dataset(ds_dir, num_images=args.images + holdout,
                                  img_size=64, seed=0)
     data_json = os.path.join(ds_dir, "data.json")
     tags_csv = os.path.join(ds_dir, "tags.csv")
+    if holdout:
+        with open(data_json) as f:
+            all_entries = json.load(f)
+        keys = sorted(all_entries)  # synthetic_NNNN order
+        train_json = os.path.join(ds_dir, "data_train.json")
+        with open(train_json, "w") as f:
+            json.dump({k: all_entries[k] for k in keys[:-holdout]}, f,
+                      indent=2)
+        with open(os.path.join(ds_dir, "holdout.json"), "w") as f:
+            json.dump({k: all_entries[k] for k in keys[-holdout:]}, f,
+                      indent=2)
+        data_json = train_json
 
     # ONE seed VAE, shared by both sides.  Small-but-real arch so the
     # reference's un-jitted CPU epochs stay in minutes.
@@ -122,79 +227,126 @@ def main():
              "--resolution", "64", "--train_batch_size", "4",
              "--num_epochs", str(args.epochs),
              "--learning_rate", str(args.lr),
-             "--use_focal_loss", "--use_class_balanced",
              "--lr_warmup_steps", "20", "--num_workers", "2",
              "--mixed_precision", "no", "--seed", "0",
              "--logging_steps", "1000", "--save_steps", "1000"]
+    if args.trainer != "vae":  # train_vae.py has no classification loss
+        flags += ["--use_focal_loss", "--use_class_balanced"]
+    # train_full: the simplified combined loss (triplet + bce + recon + KL,
+    # /root/reference/train_full.py:438 default on) with its default
+    # weights; --save_steps is denominated in EPOCHS there (quirk), so 1000
+    # also means "no periodic checkpoints" on both sides.
+    ref_script = {"decoder": "train_decoder.py",
+                  "full": "train_full.py",
+                  "vae": "train_vae.py"}[args.trainer]
+    ours_script = ref_script  # same file names both sides, by design
+    ours_extra = ["--cache_latents"] if args.trainer == "decoder" else []
 
-    results = {"config": {"images": args.images, "resolution": 64,
+    results = {"config": {"trainer": args.trainer, "images": args.images,
+                          "resolution": 64,
                           "epochs": args.epochs, "lr": args.lr,
                           "vae": "(32,64,128,128) groups16 latent16, "
                                  "identical seed weights both sides",
-                          "loss": "focal + class-balanced, bs4"}}
+                          "loss": {
+                              "decoder": "focal + class-balanced, bs4",
+                              "full": "simplified combined (triplet+bce+"
+                                      "recon+kl) + focal + class-balanced"
+                                      ", bs4",
+                              "vae": "simplified VAE loss (recon + latent "
+                                     "triplet), bs4",
+                          }[args.trainer]}}
+
+    done_marker = ("best_vae/diffusion_pytorch_model.safetensors"
+                   if args.trainer == "vae"
+                   else "evaluation_results_overall.json")
 
     # ---- the reference, end to end, its own code + evaluator ----------
     ref_out = os.path.join(ws, "ref_out")
-    if not os.path.exists(os.path.join(ref_out,
-                                       "evaluation_results_overall.json")):
+    if not os.path.exists(os.path.join(ref_out, done_marker)):
         env = clean_cpu_env(extra_path=(SHIMS, REFERENCE, TESTS))
         dt = sh([sys.executable,
-                 os.path.join(REFERENCE, "train_decoder.py"),
+                 os.path.join(REFERENCE, ref_script),
                  "--output_dir", ref_out, *flags],
                 os.path.join(ws, "ref_train.log"), env=env)
         results["reference_wall_s"] = round(dt, 1)
 
-    with open(os.path.join(ref_out,
-                           "evaluation_results_overall.json")) as f:
-        ref_overall = json.load(f)
-    with open(os.path.join(ref_out, "optimal_thresholds.json")) as f:
-        ref_thr = json.load(f)
-
     # ---- ours, same flags, scrubbed CPU JAX ---------------------------
     ours_out = os.path.join(ws, "ours_out")
-    if not os.path.exists(os.path.join(ours_out,
-                                       "evaluation_results_overall.json")):
+    if not os.path.exists(os.path.join(ours_out, done_marker)):
         env = clean_cpu_env()
         dt = sh([sys.executable,
-                 os.path.join(REPO, "scripts", "train_decoder.py"),
-                 "--output_dir", ours_out, "--cache_latents", *flags],
+                 os.path.join(REPO, "scripts", ours_script),
+                 "--output_dir", ours_out, *ours_extra, *flags],
                 os.path.join(ws, "ours_train.log"), env=env)
         results["ours_wall_s"] = round(dt, 1)
 
-    with open(os.path.join(ours_out,
-                           "evaluation_results_overall.json")) as f:
-        ours_overall = json.load(f)
-    with open(os.path.join(ours_out, "optimal_thresholds.json")) as f:
-        ours_thr = json.load(f)
+    if args.trainer == "vae":
+        # one neutral scorer, both exports, identical held-out images
+        results["reference"] = score_vae_export(
+            os.path.join(ref_out, "best_vae"), ds_dir)
+        results["ours"] = score_vae_export(
+            os.path.join(ours_out, "best_vae"), ds_dir)
+        results["psnr_db_delta_ours_minus_ref"] = round(
+            results["ours"]["recon_psnr_db"]
+            - results["reference"]["recon_psnr_db"], 2)
+        results["triplet_acc_delta_ours_minus_ref"] = round(
+            results["ours"]["triplet_accuracy"]
+            - results["reference"]["triplet_accuracy"], 4)
+        results["note"] = (
+            "identical seed VAE weights + dataset + hyperparameters "
+            "(simplified VAE loss: recon + latent triplet, each side's "
+            "own 90/10 split).  Both exported best_vae/ directories are "
+            "scored by the SAME jitted scorer on the SAME 24 held-back "
+            "images and 64 seeded (a,p,n) tag triplets: fp32 mode-latent "
+            "round trip for MSE/PSNR, cosine ordering d(a,p)<d(a,n) on "
+            "flattened mean latents for triplet accuracy.  Reference "
+            "executed from /root/reference via benchmarks/ref_shims "
+            "(torch CPU); ours on the local-CPU JAX backend.")
+    else:
+        with open(os.path.join(ref_out,
+                               "evaluation_results_overall.json")) as f:
+            ref_overall = json.load(f)
+        with open(os.path.join(ref_out, "optimal_thresholds.json")) as f:
+            ref_thr = json.load(f)
+        with open(os.path.join(ours_out,
+                               "evaluation_results_overall.json")) as f:
+            ours_overall = json.load(f)
+        with open(os.path.join(ours_out, "optimal_thresholds.json")) as f:
+            ours_thr = json.load(f)
 
-    def pick(d):
-        return {"f1_macro": round(float(d["f1_macro"]), 4),
-                "f1_micro": round(float(d["f1_micro"]), 4),
-                "mAP_macro": round(float(d["mAP"]), 4)}
+        def pick(d):
+            return {"f1_macro": round(float(d["f1_macro"]), 4),
+                    "f1_micro": round(float(d["f1_micro"]), 4),
+                    "mAP_macro": round(float(d["mAP"]), 4)}
 
-    results["reference"] = pick(ref_overall)
-    results["reference"]["global_threshold"] = ref_thr["global_threshold"]
-    results["ours"] = pick(ours_overall)
-    results["ours"]["global_threshold"] = ours_thr["global_threshold"]
-    results["f1_macro_delta_ours_minus_ref"] = round(
-        results["ours"]["f1_macro"] - results["reference"]["f1_macro"], 4)
-    results["note"] = (
-        "identical seed VAE weights + dataset + hyperparameters; val "
-        "splits are each trainer's own seeded 90/10 draw (membership "
-        "differs, distribution identical).  Reference executed from "
-        "/root/reference via benchmarks/ref_shims (torch CPU); ours on "
-        "the local-CPU JAX backend.")
+        results["reference"] = pick(ref_overall)
+        results["reference"]["global_threshold"] = \
+            ref_thr["global_threshold"]
+        results["ours"] = pick(ours_overall)
+        results["ours"]["global_threshold"] = ours_thr["global_threshold"]
+        results["f1_macro_delta_ours_minus_ref"] = round(
+            results["ours"]["f1_macro"]
+            - results["reference"]["f1_macro"], 4)
+        results["note"] = (
+            "identical seed VAE weights + dataset + hyperparameters; val "
+            "splits are each trainer's own seeded 90/10 draw (membership "
+            "differs, distribution identical).  Reference executed from "
+            "/root/reference via benchmarks/ref_shims (torch CPU); ours "
+            "on the local-CPU JAX backend.")
     print(json.dumps(results, indent=2))
 
     with open(os.path.join(ws, "parity.json"), "w") as f:
         json.dump(results, f, indent=2)
     if not args.skip_report:
+        key = {"decoder": "accuracy_parity_cpu_64px",
+               "full": "accuracy_parity_cpu_64px_train_full",
+               "vae": "vae_parity_cpu_64px"}[args.trainer]
         with open(REPORT) as f:
             report = json.load(f)
-        report["accuracy_parity_cpu_64px"] = results
+        report[key] = results
         with open(REPORT, "w") as f:
             json.dump(report, f, indent=2)
-        print(f"updated {REPORT}")
+        print(f"updated {REPORT}::{key}")
 
 
 if __name__ == "__main__":

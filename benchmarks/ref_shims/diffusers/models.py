@@ -92,3 +92,27 @@ class AutoencoderKL(AutoencoderKLOracle):
 
     def decode(self, z):
         return SimpleNamespace(sample=AutoencoderKLOracle.decode(self, z))
+
+    def save_pretrained(self, save_directory: str):
+        """diffusers-layout export (config.json +
+        diffusion_pytorch_model.safetensors).  train_full.py calls this on
+        every best/periodic save (/root/reference/train_full.py:363,378);
+        the oracle's state_dict already uses diffusers key names, so the
+        tensors serialize directly."""
+        import json
+
+        from safetensors.torch import save_file
+
+        os.makedirs(save_directory, exist_ok=True)
+        cfg = dict(vars(self.config))
+        cfg["_class_name"] = "AutoencoderKL"
+        cfg["down_block_types"] = ["DownEncoderBlock2D"] * len(
+            cfg["block_out_channels"])
+        cfg["up_block_types"] = ["UpDecoderBlock2D"] * len(
+            cfg["block_out_channels"])
+        cfg["block_out_channels"] = list(cfg["block_out_channels"])
+        with open(os.path.join(save_directory, "config.json"), "w") as f:
+            json.dump(cfg, f, indent=2)
+        sd = {k: v.contiguous() for k, v in self.state_dict().items()}
+        save_file(sd, os.path.join(
+            save_directory, "diffusion_pytorch_model.safetensors"))
