@@ -252,3 +252,37 @@ def test_engine_serves_sd_family_vae(tmp_path):
     probs = engine.classify(px)
     assert probs.shape == (2, 5)
     assert np.all(np.isfinite(probs))
+
+
+def test_dump_attention_maps(artifacts, tmp_path):
+    """scripts/attention_maps.py surface: NPZ maps + PNG overlays + index
+    for every image (the reference stubs get_attention_maps out entirely,
+    /root/reference/modules.py:477-485)."""
+    from PIL import Image
+
+    from vae_tagger_tpu.infer.attention_viz import dump_attention_maps
+
+    root, ds, vae_dir, bin_path = artifacts
+    engine = TaggerEngine.load(
+        vae_checkpoint=f"{vae_dir}/diffusion_pytorch_model.safetensors",
+        decoder_checkpoint=bin_path,
+        tags_csv_path=ds["tags_csv"],
+        vae_config_path=f"{vae_dir}/config.json")
+    out = str(tmp_path / "attn")
+    index = dump_attention_maps(engine, str(root / "test_dataset" / "images"),
+                                out, resolution=64, batch_size=4,
+                                max_images=5)
+    assert len(index["images"]) == 5
+    for entry in index["images"].values():
+        data = np.load(f"{out}/{entry['npz']}")
+        # 64px -> 8x8 latent grid through the f8 VAE
+        assert data["spatial_attention"].shape == (8, 8, 1)
+        assert data["self_attention"].shape[-2:] == (64, 64)  # S = 8*8
+        assert 0.0 <= float(data["spatial_attention"].min())
+        assert float(data["spatial_attention"].max()) <= 1.0
+        # softmax rows sum to 1 (fp16 storage tolerance)
+        rows = data["self_attention"].astype(np.float32).sum(-1)
+        np.testing.assert_allclose(rows, 1.0, atol=2e-2)
+        img = Image.open(f"{out}/{entry['spatial_overlay']}")
+        assert img.size == (64, 64)
+        assert "mhsa_overlay" in entry

@@ -191,3 +191,18 @@ def initialize_distributed():
                                    process_id=int(pid))
     else:
         jax.distributed.initialize()  # platform autodetect (TPU pods)
+    # Every per-process batch split in this package (data/loader.py divides
+    # the global batch evenly; shard_batch maps the slice onto this
+    # process's addressable shards) assumes HOMOGENEOUS local device
+    # counts — true of every real TPU pod slice (4 or 8 chips per host).  A
+    # lopsided CPU/GPU process group would otherwise surface as an opaque
+    # make_array_from_process_local_data shape error deep in the first
+    # step; fail at init with the actual constraint instead.
+    n_local = len(jax.local_devices())
+    n_proc = jax.process_count()
+    if n_local * n_proc != jax.device_count():
+        raise RuntimeError(
+            f"process {jax.process_index()} sees {n_local} local devices "
+            f"but {jax.device_count()} global across {n_proc} processes — "
+            "per-process device counts must be equal (the loader splits "
+            "the global batch evenly per process); rebalance the launcher")
