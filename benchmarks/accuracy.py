@@ -37,9 +37,7 @@ import argparse
 import json
 import os
 import shutil
-import subprocess
 import sys
-import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
@@ -48,20 +46,11 @@ REPORT = os.path.join(REPO, "benchmarks", "report.json")
 
 
 def sh(argv, log_path):
-    """Run a CLI, teeing output to a log file; raise on failure."""
-    print(f"$ {' '.join(argv)}")
-    t0 = time.perf_counter()
-    proc = subprocess.run(argv, cwd=REPO, stdout=subprocess.PIPE,
-                          stderr=subprocess.STDOUT, text=True)
-    with open(log_path, "w") as f:
-        f.write(proc.stdout)
-    if proc.returncode != 0:
-        sys.stdout.write(proc.stdout[-4000:])
-        raise RuntimeError(f"{argv[1]} failed rc={proc.returncode}; "
-                           f"full log: {log_path}")
-    dt = time.perf_counter() - t0
-    print(f"  done in {dt:.0f}s (log: {os.path.relpath(log_path, REPO)})")
-    return proc.stdout, dt
+    """Run-and-log (shared implementation: bench_common.run_logged);
+    returns (stdout, wall_seconds)."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from bench_common import run_logged
+    return run_logged(argv, log_path, echo=len(argv))
 
 
 def make_seed_vae(out_dir, seed=0):
@@ -240,6 +229,12 @@ def main():
     ap.add_argument("--lr_decoder", type=float, default=1e-3)
     ap.add_argument("--lr_full", type=float, default=2e-4)
     ap.add_argument("--lr_vae", type=float, default=1e-4)
+    ap.add_argument("--seed", type=int, default=0,
+                    help="training seed (replicate runs: same dataset and "
+                         "same seed-VAE init as the seed-0 workspace, only "
+                         "the training stochasticity — split draw, shuffle, "
+                         "mining, dropout — varies; results land in "
+                         "report.json::accuracy_meta.replicates)")
     ap.add_argument("--fresh", action="store_true",
                     help="wipe the workspace and retrain from scratch")
     ap.add_argument("--skip_full", action="store_true")
@@ -248,21 +243,32 @@ def main():
                     help="don't touch benchmarks/report.json")
     args = ap.parse_args()
 
-    ws = args.workspace
+    base_ws = args.workspace
+    ws = base_ws + (f"_s{args.seed}" if args.seed else "")
+    # split seed mirrors train/loop.py:81 (`args.seed or 42`) so every
+    # scorer below holds out exactly the images the trainer never saw
+    split_seed = args.seed or 42
     if args.fresh and os.path.isdir(ws):
         shutil.rmtree(ws)
     os.makedirs(ws, exist_ok=True)
 
     from vae_tagger_tpu.utils import create_synthetic_dataset
 
-    ds_dir = os.path.join(ws, "ds")
+    # replicate runs share the seed-0 dataset and VAE init: only training
+    # stochasticity (split draw, shuffle, mining, dropout) varies
+    ds_dir = os.path.join(
+        base_ws if args.seed and os.path.exists(
+            os.path.join(base_ws, "ds", "data.json")) else ws, "ds")
     if not os.path.exists(os.path.join(ds_dir, "data.json")):
         create_synthetic_dataset(ds_dir, num_images=args.images,
                                  img_size=args.resolution, seed=0)
     data_json = os.path.join(ds_dir, "data.json")
     tags_csv = os.path.join(ds_dir, "tags.csv")
 
-    seed_vae = os.path.join(ws, "seed_vae")
+    seed_vae = os.path.join(
+        base_ws if args.seed and os.path.exists(
+            os.path.join(base_ws, "seed_vae", "config.json")) else ws,
+        "seed_vae")
     if not os.path.exists(os.path.join(seed_vae, "config.json")):
         print("initializing full-architecture FLUX VAE (random, seed 0)...")
         make_seed_vae(seed_vae)
@@ -276,7 +282,7 @@ def main():
     py = sys.executable
 
     common_data = ["--json_path", data_json, "--tags_csv_path", tags_csv,
-                   "--num_workers", "4", "--seed", "0",
+                   "--num_workers", "4", "--seed", str(args.seed),
                    "--logging_steps", "1000", "--save_steps", "1000",
                    "--lr_warmup_steps", "20", "--mixed_precision", "bf16",
                    "--resolution", str(args.resolution)]
@@ -303,7 +309,7 @@ def main():
                                              "best_pytorch_model.bin"),
         "--json_path", data_json, "--tags_csv_path", tags_csv,
         "--output_dir", dec_eval, "--resolution", str(args.resolution),
-        "--batch_size", "8", "--use_val_split", "--seed", "0",
+        "--batch_size", "8", "--use_val_split", "--seed", str(args.seed),
         "--mixed_precision", "bf16"],
        os.path.join(ws, "eval_decoder.log"))
     overall, thr = read_overall(dec_eval)
@@ -342,7 +348,8 @@ def main():
                                                  "pytorch_model.bin"),
             "--json_path", data_json, "--tags_csv_path", tags_csv,
             "--output_dir", full_eval, "--resolution", str(args.resolution),
-            "--batch_size", "8", "--use_val_split", "--seed", "0",
+            "--batch_size", "8", "--use_val_split", "--seed",
+            str(args.seed),
             "--mixed_precision", "bf16"],
            os.path.join(ws, "eval_full.log"))
         overall_f, thr_f = read_overall(full_eval)
@@ -387,7 +394,7 @@ def main():
                                      tags_csv_path=tags_csv,
                                      resolution=args.resolution,
                                      return_triplets=False, seed=0)
-        _, val_idx = train_val_split(len(dataset), 0.1, seed=42)
+        _, val_idx = train_val_split(len(dataset), 0.1, seed=split_seed)
         val_paths = [dataset.image_paths[i] for i in val_idx]
         val_labels = dataset.labels_matrix[val_idx]
         results["yuv420_quality"] = yuv_quality_ab(
@@ -440,7 +447,7 @@ def main():
                                      tags_csv_path=tags_csv,
                                      resolution=args.resolution,
                                      return_triplets=False, seed=0)
-        _, val_idx = train_val_split(len(dataset), 0.1, seed=42)
+        _, val_idx = train_val_split(len(dataset), 0.1, seed=split_seed)
         imgs = np.stack([load_and_transform_image(
             dataset.image_paths[i], resolution=args.resolution)
             for i in val_idx[:8]])
@@ -483,26 +490,68 @@ def main():
     if not args.skip_report:
         with open(REPORT) as f:
             report = json.load(f)
-        meta = {"dataset": results["dataset"],
-                "wall_s": results.get("wall_s", {}),
-                "note": "trained on-chip accuracy per BASELINE.md's plan; "
-                        "256px = the synthetic fixture's native size "
-                        "(converges in minutes); see benchmarks/accuracy.py"}
-        if "latent_mse_gate" in results:
-            meta["latent_mse_gate"] = results["latent_mse_gate"]
-        report["accuracy_meta"] = meta
-        report.setdefault("train_decoder_512px_batch4", {})["accuracy"] = \
-            results["train_decoder"]
-        if "train_full" in results:
-            report.setdefault("train_full_1024px_batch1_remat",
-                              {})["accuracy"] = results["train_full"]
-            report.setdefault("bucketed_tagging", {})["accuracy"] = \
-                results["batch_inference"]
-            report.setdefault("infer_full_e2e_1024px_yuv420",
-                              {})["quality_vs_rgb"] = \
-                results["yuv420_quality"]
-        if "train_vae" in results:
-            report["train_vae_256px"] = results["train_vae"]
+        if args.seed:
+            # replicate run: record NEXT TO the seed-0 headline numbers
+            # (never overwriting them) and refresh the cross-seed aggregate
+            import statistics
+
+            acc_meta = report.setdefault("accuracy_meta", {})
+            rep = acc_meta.setdefault("replicates", {})
+            entry = {}
+            if "train_decoder" in results:
+                entry["train_decoder_f1_macro"] = \
+                    results["train_decoder"]["tag_f1_macro"]
+            if "train_full" in results:
+                entry["train_full_f1_macro"] = \
+                    results["train_full"]["tag_f1_macro"]
+            if "train_vae" in results:
+                entry["train_vae_psnr_db"] = \
+                    results["train_vae"]["psnr_trained_db"]
+            rep[f"seed{args.seed}"] = entry
+            seed0 = {
+                "train_decoder_f1_macro": report.get(
+                    "train_decoder_512px_batch4", {}).get(
+                    "accuracy", {}).get("tag_f1_macro"),
+                "train_full_f1_macro": report.get(
+                    "train_full_1024px_batch1_remat", {}).get(
+                    "accuracy", {}).get("tag_f1_macro"),
+                "train_vae_psnr_db": report.get(
+                    "train_vae_256px", {}).get("psnr_trained_db"),
+            }
+            agg = {}
+            for k, v0 in seed0.items():
+                vals = ([v0] if v0 is not None else []) + \
+                    [r[k] for r in rep.values() if k in r]
+                if len(vals) >= 2:
+                    agg[k] = {"mean": round(statistics.mean(vals), 4),
+                              "std": round(statistics.stdev(vals), 4),
+                              "n_seeds": len(vals)}
+            if agg:
+                acc_meta["seed_mean_std"] = agg
+            print("replicate aggregate:", json.dumps(agg))
+        else:
+            meta = {"dataset": results["dataset"],
+                    "wall_s": results.get("wall_s", {}),
+                    "note": "trained on-chip accuracy per BASELINE.md's "
+                            "plan; 256px = the synthetic fixture's native "
+                            "size (converges in minutes); see "
+                            "benchmarks/accuracy.py"}
+            if "latent_mse_gate" in results:
+                meta["latent_mse_gate"] = results["latent_mse_gate"]
+            # update in place so replicate fields from prior runs survive
+            report.setdefault("accuracy_meta", {}).update(meta)
+            report.setdefault("train_decoder_512px_batch4",
+                              {})["accuracy"] = results["train_decoder"]
+            if "train_full" in results:
+                report.setdefault("train_full_1024px_batch1_remat",
+                                  {})["accuracy"] = results["train_full"]
+                report.setdefault("bucketed_tagging", {})["accuracy"] = \
+                    results["batch_inference"]
+                report.setdefault("infer_full_e2e_1024px_yuv420",
+                                  {})["quality_vs_rgb"] = \
+                    results["yuv420_quality"]
+            if "train_vae" in results:
+                report["train_vae_256px"] = results["train_vae"]
         with open(REPORT, "w") as f:
             json.dump(report, f, indent=2)
         print(f"updated {REPORT}")

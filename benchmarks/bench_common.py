@@ -15,13 +15,37 @@ Two pieces of methodology are load-bearing for every reported number
 from __future__ import annotations
 
 import os
+import subprocess
 import sys
 import time
 
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO_ROOT)
 
 import jax
 import jax.numpy as jnp
+
+
+def run_logged(argv, log_path, env=None, cwd=REPO_ROOT, echo=4):
+    """Run a CLI, teeing combined stdout+stderr to ``log_path``; raise on
+    failure (tail included).  Returns (stdout, wall_seconds).  One
+    definition shared by the accuracy/parity drivers (accuracy.py,
+    ref_accuracy_cpu.py) so log/error handling cannot drift."""
+    suffix = " ..." if len(argv) > echo else ""
+    print(f"$ {' '.join(argv[:echo])}{suffix} "
+          f"(log: {os.path.relpath(log_path, REPO_ROOT)})", flush=True)
+    t0 = time.perf_counter()
+    proc = subprocess.run(argv, cwd=cwd, env=env, stdout=subprocess.PIPE,
+                          stderr=subprocess.STDOUT, text=True)
+    with open(log_path, "w") as f:
+        f.write(proc.stdout)
+    if proc.returncode != 0:
+        sys.stdout.write(proc.stdout[-5000:])
+        raise RuntimeError(f"{' '.join(argv[:2])} failed "
+                           f"rc={proc.returncode}; full log: {log_path}")
+    dt = time.perf_counter() - t0
+    print(f"  done in {dt:.0f}s", flush=True)
+    return proc.stdout, dt
 
 
 def measure_rtt(reps: int = 10) -> float:

@@ -112,8 +112,11 @@ def _drive_mixed(server, payload, mix=((512, 12), (1024, 4)),
         ms = np.sort(np.asarray(vals)) * 1000
         out[f"{res}px"] = {
             "requests": len(ms),
-            "p50_ms": round(float(ms[len(ms) // 2]), 1),
-            "p95_ms": round(float(ms[int(len(ms) * 0.95)]), 1),
+            "p50_ms": round(float(np.percentile(ms, 50)), 1),
+            # interpolated: with only n*clients samples on the minority
+            # shape, the order-statistic index floor(0.95n) is the MAX and
+            # one outlier request would fake a starvation signal
+            "p95_ms": round(float(np.percentile(ms, 95)), 1),
             "max_ms": round(float(ms[-1]), 1),
         }
     # starvation indicator: the minority shape's p95 must stay within the

@@ -286,3 +286,31 @@ def test_dump_attention_maps(artifacts, tmp_path):
         img = Image.open(f"{out}/{entry['spatial_overlay']}")
         assert img.size == (64, 64)
         assert "mhsa_overlay" in entry
+
+
+def test_dump_attention_maps_duplicate_basenames(artifacts, tmp_path):
+    """Recursive discovery can surface a/x.png and b/x.png; artifacts must
+    not overwrite each other (round-4 review finding)."""
+    import os
+    import shutil
+
+    from vae_tagger_tpu.infer.attention_viz import dump_attention_maps
+
+    root, ds, vae_dir, bin_path = artifacts
+    engine = TaggerEngine.load(
+        vae_checkpoint=f"{vae_dir}/diffusion_pytorch_model.safetensors",
+        decoder_checkpoint=bin_path,
+        tags_csv_path=ds["tags_csv"],
+        vae_config_path=f"{vae_dir}/config.json")
+    src = sorted((root / "test_dataset" / "images").iterdir())[0]
+    for sub in ("a", "b"):
+        (tmp_path / "imgs" / sub).mkdir(parents=True)
+        shutil.copy(src, tmp_path / "imgs" / sub / "same.png")
+    out = str(tmp_path / "attn")
+    index = dump_attention_maps(engine, str(tmp_path / "imgs"), out,
+                                resolution=64, batch_size=4)
+    assert len(index["images"]) == 2
+    npzs = {e["npz"] for e in index["images"].values()}
+    assert len(npzs) == 2, "duplicate basenames overwrote each other"
+    for e in index["images"].values():
+        assert os.path.exists(f"{out}/{e['npz']}")

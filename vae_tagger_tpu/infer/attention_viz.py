@@ -77,6 +77,16 @@ def dump_attention_maps(engine, image_path: str, output_dir: str,
         raise FileNotFoundError(f"no images under {image_path}")
     os.makedirs(output_dir, exist_ok=True)
 
+    # discovery is recursive, so basenames can repeat across subdirectories;
+    # disambiguate repeats with a counter suffix instead of overwriting
+    seen: dict = {}
+    stems = []
+    for p in paths:
+        stem = os.path.splitext(os.path.basename(p))[0]
+        n = seen.get(stem, 0)
+        seen[stem] = n + 1
+        stems.append(stem if n == 0 else f"{stem}__{n}")
+
     index = {"resolution": resolution, "images": {}}
     for start in range(0, len(paths), batch_size):
         chunk = paths[start:start + batch_size]
@@ -84,7 +94,7 @@ def dump_attention_maps(engine, image_path: str, output_dir: str,
                            for p in chunk])
         maps = engine.get_attention_maps(pixels)
         for j, p in enumerate(chunk):
-            stem = os.path.splitext(os.path.basename(p))[0]
+            stem = stems[start + j]
             per_image = {k: np.asarray(v[j], np.float16)
                          for k, v in maps.items()}
             npz_path = os.path.join(output_dir, f"{stem}_attention.npz")

@@ -116,7 +116,8 @@ def train_decoder(args):
 
     train_step, eval_step = make_decoder_steps(
         vae, decoder, cfg, cb_weights, compute_dtype=policy.compute_dtype,
-        force_xla_kernels=spatial)
+        force_xla_kernels=spatial,
+        spatial_mesh=mesh if spatial else None)
     base_rng = jax.random.key(args.seed or 0)
 
     # --cache_latents: the frozen VAE makes latents a pure function of the
