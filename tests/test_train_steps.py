@@ -421,3 +421,48 @@ def test_triplet_sublane_padding_is_loss_neutral(monkeypatch):
         np.testing.assert_allclose(np.asarray(m_plain[k]),
                                    np.asarray(m_padded[k]),
                                    rtol=2e-5, atol=2e-6)
+
+
+@pytest.mark.parametrize("builder", ["vae", "full"])
+def test_recon_draw_independent_of_triplet_draw(builder, monkeypatch):
+    """The reconstruction term must decode its OWN posterior draw, separate
+    from the triplet draw (the reference's structure: train_vae.py:131-146,
+    train_full.py:209-213).  Sharing one draw measurably destabilizes
+    training — the posterior drifts from the prior (log-damped KL 12 vs 0.6
+    by epoch 2) and the held-out objective rises
+    (benchmarks/vae_dynamics_probe.py); this pins the two-draw structure at
+    trace time."""
+    import vae_tagger_tpu.models.autoencoder_kl as ak
+    import vae_tagger_tpu.train.steps as steps_mod
+
+    vae, decoder, vae_params, dec_vars = _models()
+    calls = []
+    orig = ak.DiagonalGaussian.sample
+
+    def counting_sample(self, rng):
+        calls.append(self.mean.shape)
+        return orig(self, rng)
+
+    monkeypatch.setattr(ak.DiagonalGaussian, "sample", counting_sample)
+    # steps.py binds the class at import; patch both namespaces
+    monkeypatch.setattr(steps_mod.DiagonalGaussian, "sample",
+                        counting_sample, raising=False)
+
+    cfg = LossConfig(use_focal_loss=True)
+    tx = build_optimizer(optax.constant_schedule(1e-4), 1e-6, 1.0, 1)
+    if builder == "vae":
+        state = TrainState.create(_fresh(vae_params), tx)
+        train_step, _ = make_vae_steps(vae, cfg, use_simplified=True)
+    else:
+        state = TrainState.create(
+            {"vae": _fresh(vae_params), "decoder": _fresh(
+                dec_vars["params"])}, tx,
+            batch_stats=_fresh(dec_vars.get("batch_stats")))
+        train_step, _ = make_full_steps(vae, decoder, cfg,
+                                        use_simplified=False)
+    jax.clear_caches()  # force a fresh trace so the counter records
+    train_step(state, _batch(), jax.random.key(0))
+    # one (3B,...) triplet draw + one (B,...) anchor-only recon draw
+    shapes = sorted(calls, key=lambda s: s[0])
+    assert len(shapes) == 2, f"expected 2 posterior draws, saw {calls}"
+    assert shapes[0][0] == B and shapes[1][0] == 3 * B, calls

@@ -333,13 +333,24 @@ def make_vae_steps(vae: AutoencoderKL, cfg: LossConfig,
                    force_xla_kernels: bool = False, spatial_mesh=None):
     def forward_losses(vae_params, batch, rng):
         batch = resolve_transfer_format(batch)
+        rng_recon, rng_trip = jax.random.split(rng)
         b = batch["anchor"].shape[0]
         posterior = _triplet_posterior(vae, vae_params, batch, compute_dtype,
                                        checkpoint_encode)
-        z = posterior.sample(rng)
+        z = posterior.sample(rng_trip)
         z_a, z_p, z_n = z[:b], z[b:2 * b], z[2 * b:]
 
-        recon_a = vae.apply({"params": vae_params}, z_a,
+        # the reconstruction decodes its OWN posterior draw, independent of
+        # the triplet draw (train_vae.py:131-146: model(anchor) samples
+        # internally, then .sample() again for the triplet).  Sharing one
+        # draw measurably destabilizes training: the posterior drifts from
+        # the prior (log-damped KL 12 vs 0.6 by epoch 2) and the held-out
+        # objective rises instead of falling
+        # (benchmarks/vae_dynamics_probe.py).
+        z_recon = DiagonalGaussian(
+            mean=posterior.mean[:b],
+            logvar=posterior.logvar[:b]).sample(rng_recon)
+        recon_a = vae.apply({"params": vae_params}, z_recon,
                             method=AutoencoderKL.decode)
         anchor_f32 = normalize_uint8(batch["anchor"], jnp.float32)
         recon_loss = jnp.mean(jnp.square(
@@ -429,7 +440,15 @@ def make_full_steps(vae: AutoencoderKL, decoder, cfg: LossConfig,
                 positive_labels=positive_labels,
                 cb_weights=cb_weights)
         else:
-            recon_a = vae.apply({"params": params["vae"]}, z_a,
+            # independent anchor draw for the reconstruction term, as in
+            # the reference (train_full.py:209-213: vae_model(anchor)
+            # samples internally, .sample() again for the triplet); see
+            # make_vae_steps for the measured shared-draw instability
+            rng_recon = jax.random.fold_in(rng_sample, 1)
+            z_recon = DiagonalGaussian(
+                mean=posterior.mean[:b],
+                logvar=posterior.logvar[:b]).sample(rng_recon)
+            recon_a = vae.apply({"params": params["vae"]}, z_recon,
                                 method=AutoencoderKL.decode)
             anchor_f32 = normalize_uint8(batch["anchor"], jnp.float32)
             kl = posterior.kl()
