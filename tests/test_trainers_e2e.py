@@ -268,3 +268,21 @@ def test_spatial_trainers_wire_spatial_mesh(workspace, monkeypatch):
         getattr(mod, entry_name)(args)
         assert recorded.get("force_xla_kernels") is True, builder_name
         assert recorded.get("spatial_mesh") is not None, builder_name
+
+
+def test_val_loss_is_paired_across_epochs(workspace):
+    """With learning_rate 0 the model never changes, so a PAIRED validation
+    estimate (pinned val triplets + per-batch rngs that do not advance with
+    training) must reproduce the identical val loss every epoch.  Unpaired
+    draws made best-checkpoint selection a lottery on sampled-z objectives
+    (docs/PERF.md round-4 VAE head-to-head)."""
+    from vae_tagger_tpu.train.train_vae import train_vae
+
+    root, ds, vae_dir = workspace
+    args = _base_args(root, ds, vae_dir, "vae_paired",
+                      learning_rate=0.0, num_epochs=2)
+    train_vae(args)
+    hist = json.loads(
+        (root / "vae_paired" / "training_history.json").read_text())
+    assert len(hist["val_loss"]) == 2
+    assert hist["val_loss"][0] == hist["val_loss"][1], hist["val_loss"]

@@ -28,6 +28,12 @@ from ..parallel.mesh import (
 )
 
 
+# mining epoch pinned during validation so every epoch scores the SAME
+# val triplets (paired best-checkpoint selection; see the val loop).  Any
+# constant outside the reachable training epoch range works.
+_VAL_MINING_EPOCH = -1
+
+
 def spatial_parallel_enabled(args) -> bool:
     """True when this run spatially partitions each image over all devices
     (train_full --spatial_parallel): the mesh axis becomes 'model', the
@@ -333,14 +339,28 @@ class EpochLoop:
             # completes; dispatching N+1 first keeps the device busy through
             # the fetch round trip
             val_pipeline = OneInFlight(drain_val)
+            # PAIRED validation: pin the mining epoch and use per-batch
+            # rngs that do NOT advance with training, so every epoch scores
+            # the same triplets with the same posterior draws.  The val
+            # loss is a Monte Carlo estimate of a sampled-z objective; with
+            # unpaired draws its epoch-to-epoch noise (~the 1-draw std on a
+            # small val set) swamps the trend and best-checkpoint selection
+            # becomes a lottery — measured on the 64px head-to-head, where
+            # unpaired selection kept exporting near-init epochs.  Paired
+            # draws cancel in the comparison, leaving the true trend.
+            val_dataset = getattr(self.val_loader, "dataset", None)
+            if val_dataset is not None and hasattr(val_dataset, "set_epoch"):
+                val_dataset.set_epoch(_VAL_MINING_EPOCH)
             for i, (batch, n_real) in enumerate(
                     self._prefetched(self.val_loader)):
                 if self._preempt:  # SIGTERM mid-validation: save NOW, a
                     break          # slow val pass can outlast the grace window
-                # distinct rng per val batch (sampling/dropout noise must
-                # not repeat across batches)
-                metrics = self.run_eval_step(state, batch, global_step + i)
+                # distinct rng per val batch (noise must not repeat across
+                # batches), identical across epochs (paired estimates)
+                metrics = self.run_eval_step(state, batch, i)
                 val_pipeline.submit(metrics["loss"], n_real)
+            if val_dataset is not None and hasattr(val_dataset, "set_epoch"):
+                val_dataset.set_epoch(epoch + epoch_offset)
             val_pipeline.flush()
             if self._preempt:
                 self._interrupt_save(state)
