@@ -275,14 +275,26 @@ def test_val_loss_is_paired_across_epochs(workspace):
     estimate (pinned val triplets + per-batch rngs that do not advance with
     training) must reproduce the identical val loss every epoch.  Unpaired
     draws made best-checkpoint selection a lottery on sampled-z objectives
-    (docs/PERF.md round-4 VAE head-to-head)."""
+    (docs/PERF.md round-4 VAE head-to-head).  Run with --val_draws 2 so the
+    multi-draw averaging path is exercised too: the paired property must
+    survive it, and the 2-draw mean must differ from the 1-draw estimate
+    (distinct rngs per draw — the knob actually draws twice)."""
     from vae_tagger_tpu.train.train_vae import train_vae
 
     root, ds, vae_dir = workspace
     args = _base_args(root, ds, vae_dir, "vae_paired",
-                      learning_rate=0.0, num_epochs=2)
+                      learning_rate=0.0, num_epochs=2, val_draws=2)
     train_vae(args)
     hist = json.loads(
         (root / "vae_paired" / "training_history.json").read_text())
     assert len(hist["val_loss"]) == 2
     assert hist["val_loss"][0] == hist["val_loss"][1], hist["val_loss"]
+
+    args1 = _base_args(root, ds, vae_dir, "vae_paired_1draw",
+                       learning_rate=0.0, num_epochs=1)
+    train_vae(args1)
+    hist1 = json.loads(
+        (root / "vae_paired_1draw" / "training_history.json").read_text())
+    assert hist1["val_loss"][0] != hist["val_loss"][0], (
+        "2-draw val mean equals the 1-draw estimate: the extra draw is "
+        "not being taken or not entering the aggregate")

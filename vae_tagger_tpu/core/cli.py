@@ -106,6 +106,16 @@ def add_train_args(p: argparse.ArgumentParser, default_lr: float = 1e-4):
                    "of RGB) and reconstitutes RGB on device — wins when "
                    "host->device bandwidth binds; numerics differ from rgb "
                    "only by the chroma subsample")
+    p.add_argument("--val_draws", type=int, default=1,
+                   help="average this many paired Monte Carlo draws per "
+                   "validation batch (TPU extension): the val loss on "
+                   "sampled-z objectives (train_vae / non-simplified "
+                   "train_full) is a 1-draw estimate whose noise decides "
+                   "best-checkpoint selection on small val sets; K draws "
+                   "cut that noise sqrt(K)x for Kx val compute.  Draws are "
+                   "paired across epochs (same rngs), so the default of 1 "
+                   "keeps selection deterministic, just noisier.  No "
+                   "effect on deterministic objectives (train_decoder)")
 
 
 def add_loss_args(p: argparse.ArgumentParser):

@@ -351,14 +351,22 @@ class EpochLoop:
             val_dataset = getattr(self.val_loader, "dataset", None)
             if val_dataset is not None and hasattr(val_dataset, "set_epoch"):
                 val_dataset.set_epoch(_VAL_MINING_EPOCH)
+            # --val_draws K averages K paired draws per batch (each draw's
+            # loss enters the weighted mean with the batch's n_real, so the
+            # aggregate is the exact mean-of-draws): sqrt(K) less selection
+            # noise for K eval passes.  K=1 (default) is the plain paired
+            # estimate.
+            val_draws = max(1, int(getattr(self.args, "val_draws", 1) or 1))
             for i, (batch, n_real) in enumerate(
                     self._prefetched(self.val_loader)):
                 if self._preempt:  # SIGTERM mid-validation: save NOW, a
                     break          # slow val pass can outlast the grace window
-                # distinct rng per val batch (noise must not repeat across
-                # batches), identical across epochs (paired estimates)
-                metrics = self.run_eval_step(state, batch, i)
-                val_pipeline.submit(metrics["loss"], n_real)
+                for d in range(val_draws):
+                    # distinct rng per (batch, draw) — noise must not repeat
+                    # within an epoch — identical across epochs (paired)
+                    metrics = self.run_eval_step(state, batch,
+                                                 i * val_draws + d)
+                    val_pipeline.submit(metrics["loss"], n_real)
             if val_dataset is not None and hasattr(val_dataset, "set_epoch"):
                 val_dataset.set_epoch(epoch + epoch_offset)
             val_pipeline.flush()
