@@ -88,7 +88,29 @@ class AutoencoderKL(AutoencoderKLOracle):
 
     def encode(self, x):
         return SimpleNamespace(
-            latent_dist=DiagonalGaussianDistribution(self.encode_moments(x)))
+            latent_dist=DiagonalGaussianDistribution(self._moments(x)))
+
+    def _moments(self, x):
+        """encode_moments, with an OPT-IN per-image memo (env
+        REF_SHIM_ENCODE_MEMO=1) for frozen-VAE runs: the reference's
+        train_decoder re-encodes every image every epoch under no_grad
+        (/root/reference/train_decoder.py:182-183) — a pure function of
+        the pixels when the VAE is frozen, so caching by content hash is
+        semantically transparent (bit-identical outputs) and makes the
+        FLUX-architecture CPU head-to-head tractable.  Off by default;
+        never engages when any parameter requires grad."""
+        if not os.environ.get("REF_SHIM_ENCODE_MEMO") or self.training or \
+                any(p.requires_grad for p in self.parameters()):
+            return self.encode_moments(x)
+        if not hasattr(self, "_encode_memo"):
+            self._encode_memo = {}
+        out = []
+        for i in range(x.shape[0]):
+            key = hash(x[i].numpy().tobytes())
+            if key not in self._encode_memo:
+                self._encode_memo[key] = self.encode_moments(x[i:i + 1])
+            out.append(self._encode_memo[key])
+        return torch.cat(out, dim=0)
 
     def decode(self, z):
         return SimpleNamespace(sample=AutoencoderKLOracle.decode(self, z))

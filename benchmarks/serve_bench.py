@@ -87,14 +87,16 @@ def _drive_mixed(server, payload, mix=((512, 12), (1024, 4)),
     def one(res):
         url = f"http://127.0.0.1:{server.port}/classify?resolution={res}"
         t0 = time.perf_counter()
-        req = urllib.request.Request(url, data=payload, method="POST")
+        req = urllib.request.Request(url, data=payload, method="POST",
+                                     headers={"X-Timing": "1"})
         with urllib.request.urlopen(req, timeout=600) as r:
-            json.load(r)
-        return res, time.perf_counter() - t0
+            body = json.load(r)
+        return res, time.perf_counter() - t0, body.get("timing_ms", {})
 
     for res, _ in mix:
         one(res)  # warm both programs + connections
     lat = {res: [] for res, _ in mix}
+    timings = {res: [] for res, _ in mix}
     total_clients = sum(n for _, n in mix)
     t0 = time.perf_counter()
     with concurrent.futures.ThreadPoolExecutor(total_clients) as ex:
@@ -102,8 +104,9 @@ def _drive_mixed(server, payload, mix=((512, 12), (1024, 4)),
                 for res, n in mix
                 for _ in range(n * requests_per_client)]
         for f in concurrent.futures.as_completed(futs):
-            res, dt = f.result()
+            res, dt, timing = f.result()
             lat[res].append(dt)
+            timings[res].append(timing)
     wall = time.perf_counter() - t0
     out = {"total_images_per_sec": round(sum(len(v) for v in lat.values())
                                          / wall, 2),
@@ -118,6 +121,28 @@ def _drive_mixed(server, payload, mix=((512, 12), (1024, 4)),
             # one outlier request would fake a starvation signal
             "p95_ms": round(float(np.percentile(ms, 95)), 1),
             "max_ms": round(float(ms[-1]), 1),
+        }
+        # latency attribution from the server's own stamps (queue wait vs
+        # device pipeline), keyed to the straggler: the max-latency
+        # request's split names its cause — head-of-line queueing behind
+        # an older (possibly other-shape) batch shows up as queue_wait
+        qw = np.asarray([t.get("queue_wait_ms", np.nan) for t in
+                         timings[res]], float)
+        dp = np.asarray([t.get("device_pipeline_ms", np.nan) for t in
+                         timings[res]], float)
+        total = np.asarray(lat[res]) * 1000
+        worst = int(np.argmax(total))
+        out[f"{res}px"]["decomposition"] = {
+            "queue_wait_p50_ms": round(float(np.nanpercentile(qw, 50)), 1),
+            "queue_wait_max_ms": round(float(np.nanmax(qw)), 1),
+            "device_pipeline_p50_ms": round(float(np.nanpercentile(dp, 50)),
+                                            1),
+            "device_pipeline_max_ms": round(float(np.nanmax(dp)), 1),
+            "worst_request": {
+                "total_ms": round(float(total[worst]), 1),
+                "queue_wait_ms": round(float(qw[worst]), 1),
+                "device_pipeline_ms": round(float(dp[worst]), 1),
+            },
         }
     # starvation indicator: the minority shape's p95 must stay within the
     # FIFO bound — at most ~(its own batch + one max_batch drain of every

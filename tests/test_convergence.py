@@ -23,10 +23,15 @@ run.
 import json
 
 import numpy as np
+import pytest
 from conftest import make_trainer_args
 from PIL import Image
 
 from vae_tagger_tpu.utils import create_synthetic_dataset
+
+# real multi-epoch training runs: the suite's heavyweight tier
+# (inner loop: pytest -m "not slow")
+pytestmark = pytest.mark.slow
 
 
 def test_train_decoder_learns(tmp_path, workspace_vae):
@@ -253,3 +258,68 @@ def test_train_vae_learns(tmp_path, workspace_vae):
     # triplet satisfied on the trained latents
     margin = _semantic_margin(latents_trained, labels)
     assert margin > 0, margin
+
+
+def _assert_kl_envelope(hist):
+    """Behavioral guard for the round-4 shared-draw bug CLASS.
+
+    The bug (one posterior draw feeding both the recon and triplet
+    gradients) let the triplet term shrink latents by inflating posterior
+    variance: the log-damped KL monitor log(1 + mean_kl/1e4) saturated
+    ~12 while the reference stayed 0.02-0.86, and best-val selection kept
+    exporting near-init checkpoints because the paired val objective ROSE
+    while train recon fell.  The fix is pinned structurally
+    (tests/test_train_steps.py::test_recon_draw_independent_of_triplet_draw
+    asserts the two-draw trace); this pins the SYMPTOM, so any future
+    re-correlation of the draws — through a shared rng fold or otherwise —
+    fails CI even if the trace shape survives (VERDICT r4 next #5).
+    """
+    kl = hist["train_metrics"]["kl_loss"]
+    assert max(kl) < 2.0, ("log-damped KL left the reference envelope "
+                           "(ref: 0.02-0.86, bug: ~12)", kl)
+    recon = hist["train_metrics"]["reconstruction_loss"]
+    val = hist["val_loss"]
+    recon_descends = np.mean(recon[-2:]) < recon[0]
+    val_rises_monotonically = all(b > a for a, b in zip(val, val[1:]))
+    assert recon_descends, recon
+    assert not val_rises_monotonically, (
+        "paired val objective rose every epoch while train recon "
+        "descended — the shared-draw signature", val, recon)
+
+
+def test_train_vae_kl_envelope(tmp_path, workspace_vae):
+    """Non-simplified train_vae (KL term IN the loss, ref
+    train_vae.py:158-177) stays inside the measured reference KL envelope
+    and its paired val objective tracks training."""
+    from vae_tagger_tpu.train.train_vae import train_vae
+
+    ds = create_synthetic_dataset(str(tmp_path / "ds"), num_images=48,
+                                  img_size=32, seed=0)
+    args = make_trainer_args(workspace_vae, ds, tmp_path / "out",
+                             train_batch_size=1, num_epochs=6,
+                             learning_rate=1e-3,
+                             use_simplified_vae_loss=False,
+                             kl_weight=1e-2)  # the reference CLI default
+    train_vae(args)
+    hist = json.loads((tmp_path / "out" / "training_history.json")
+                      .read_text())
+    _assert_kl_envelope(hist)
+
+
+def test_train_full_kl_envelope(tmp_path, workspace_vae):
+    """Non-simplified train_full (CombinedLoss: recon+KL+triplet+cls) under
+    the same envelope — its recon/triplet terms share the same posterior
+    draw structure (train/steps.py) and would saturate the same way."""
+    from vae_tagger_tpu.train.train_full import train_full
+
+    ds = create_synthetic_dataset(str(tmp_path / "ds"), num_images=48,
+                                  img_size=32, seed=0)
+    args = make_trainer_args(workspace_vae, ds, tmp_path / "out",
+                             train_batch_size=1, num_epochs=6,
+                             learning_rate=1e-3,
+                             use_simplified_loss=False,
+                             kl_weight=1e-2)
+    train_full(args)
+    hist = json.loads((tmp_path / "out" / "training_history.json")
+                      .read_text())
+    _assert_kl_envelope(hist)

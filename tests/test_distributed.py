@@ -14,6 +14,8 @@ import socket
 import subprocess
 import sys
 
+import pytest
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 _WORKER = r"""
@@ -261,6 +263,7 @@ def _run_processes(tmp_path, worker_src, name, nproc=2, _retry=False):
     return results
 
 
+@pytest.mark.slow
 def test_two_process_distributed_train_step(tmp_path):
     """Train step + eval step + padded tail batch + grad accumulation +
     collective save, then a FRESH 2-process group restores the checkpoint
@@ -290,6 +293,7 @@ def test_two_process_distributed_train_step(tmp_path):
             r["checksum"], results[0]["checksum"])
 
 
+@pytest.mark.slow
 def test_four_process_distributed_train_step(tmp_path):
     """The same worker over a 4-process group (VERDICT r3 next #6): train +
     eval + padded tail + grad accumulation + collective save, then a fresh

@@ -35,6 +35,7 @@ def test_dryrun_multichip_in_process(capsys):
     assert "dryrun_multichip(8) ok" in capsys.readouterr().out
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_bootstraps_when_device_starved():
     """Driver scenario: ambient process has 1 device, asks for 4."""
     env = dict(os.environ)

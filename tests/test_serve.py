@@ -104,6 +104,22 @@ def test_http_classify_schema_and_health(engine):
         assert confs == sorted(confs, reverse=True)
         assert out["predicted_tags"][0]["tag"] in engine.tag_names
 
+        # latency attribution is OPT-IN (X-Timing header) so the default
+        # body above stays exactly the reference entry schema; with the
+        # header the response adds queue-wait vs device-pipeline stamps
+        req = urllib.request.Request(f"{base}/classify", data=_jpeg_bytes(),
+                                     method="POST",
+                                     headers={"X-Timing": "1"})
+        with urllib.request.urlopen(req, timeout=120) as r:
+            timed = json.load(r)
+        assert set(timed) == {"predicted_tags", "total_tags_above_threshold",
+                              "max_confidence", "avg_confidence_top5",
+                              "timing_ms"}
+        timing = timed["timing_ms"]
+        assert set(timing) == {"queue_wait_ms", "device_pipeline_ms"}
+        assert timing["queue_wait_ms"] >= 0
+        assert timing["device_pipeline_ms"] > 0
+
 
 def test_http_concurrent_requests_batched(engine):
     with TaggerServer(engine, resolution=64, threshold=0.5,

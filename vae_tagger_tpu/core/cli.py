@@ -109,13 +109,15 @@ def add_train_args(p: argparse.ArgumentParser, default_lr: float = 1e-4):
     p.add_argument("--val_draws", type=int, default=1,
                    help="average this many paired Monte Carlo draws per "
                    "validation batch (TPU extension): the val loss on "
-                   "sampled-z objectives (train_vae / non-simplified "
-                   "train_full) is a 1-draw estimate whose noise decides "
-                   "best-checkpoint selection on small val sets; K draws "
-                   "cut that noise sqrt(K)x for Kx val compute.  Draws are "
-                   "paired across epochs (same rngs), so the default of 1 "
-                   "keeps selection deterministic, just noisier.  No "
-                   "effect on deterministic objectives (train_decoder)")
+                   "sampled-z objectives (train_vae and train_full — both "
+                   "the simplified and full combined losses score a "
+                   "sampled z for the triplet term) is a 1-draw estimate "
+                   "whose noise decides best-checkpoint selection on small "
+                   "val sets; K draws cut that noise sqrt(K)x for Kx val "
+                   "compute.  Draws are paired across epochs (same rngs), "
+                   "so the default of 1 keeps selection deterministic, "
+                   "just noisier.  train_decoder's val loss is rng-free, "
+                   "so its loop clamps K to 1 (no redundant eval passes)")
 
 
 def add_loss_args(p: argparse.ArgumentParser):

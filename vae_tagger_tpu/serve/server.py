@@ -53,7 +53,8 @@ class QueueFullError(Exception):
 
 
 class _Pending:
-    __slots__ = ("pixels", "event", "probs", "error", "ts")
+    __slots__ = ("pixels", "event", "probs", "error", "ts", "t_dispatch",
+                 "t_done")
 
     def __init__(self, pixels):
         self.pixels = pixels
@@ -61,6 +62,11 @@ class _Pending:
         self.probs = None
         self.error: Optional[Exception] = None
         self.ts = time.monotonic()  # enqueue time: cross-shape FIFO order
+        # stamped by the worker: queue->device-batch and batch-completion
+        # times, so every response can attribute its latency to queue wait
+        # (head-of-line behind older batches) vs device pipeline time
+        self.t_dispatch: Optional[float] = None
+        self.t_done: Optional[float] = None
 
 
 class BatchingWorker:
@@ -93,14 +99,17 @@ class BatchingWorker:
                                        name="tagger-batcher")
         self.thread.start()
 
-    def submit(self, pixels,
-               timeout: Optional[float] = None) -> np.ndarray:
+    def submit(self, pixels, timeout: Optional[float] = None,
+               want_timing: bool = False):
         """One decoded image -> (num_tags,) probabilities.  Blocking.
 
         ``pixels`` is (H, W, 3) uint8 in RGB mode, or the planar
         (Y, CbCr) pair in YUV mode (decode_bytes_square_yuv).  Raises
         QueueFullError immediately when max_queue requests are already
-        pending (callers translate to 503)."""
+        pending (callers translate to 503).  With ``want_timing`` returns
+        ``(probs, {"queue_wait_ms", "device_pipeline_ms"})`` — the split
+        between time spent queued behind older batches and time from
+        device dispatch to batch completion."""
         item = _Pending(pixels)
         shape = (tuple(pixels[0].shape) if isinstance(pixels, tuple)
                  else tuple(pixels.shape))
@@ -130,6 +139,15 @@ class BatchingWorker:
             raise TimeoutError("classify request timed out")
         if item.error is not None:
             raise item.error
+        if want_timing:
+            timing = {}
+            if item.t_dispatch is not None:
+                timing["queue_wait_ms"] = round(
+                    (item.t_dispatch - item.ts) * 1000, 1)
+                if item.t_done is not None:
+                    timing["device_pipeline_ms"] = round(
+                        (item.t_done - item.t_dispatch) * 1000, 1)
+            return item.probs, timing
         return item.probs
 
     def stop(self):
@@ -211,6 +229,9 @@ class BatchingWorker:
                 return
             dispatched = None
             if batch:
+                t_dispatch = time.monotonic()
+                for item in batch:
+                    item.t_dispatch = t_dispatch
                 try:
                     if self.transfer_format == "yuv420":
                         probs, n = self.engine.classify_yuv_async(
@@ -239,7 +260,9 @@ class BatchingWorker:
             for item in items:
                 item.error = e
         finally:
+            t_done = time.monotonic()
             for item in items:
+                item.t_done = t_done
                 item.event.set()
 
 
@@ -353,7 +376,7 @@ def _make_handler(worker: BatchingWorker, engine: TaggerEngine,
                 self._json(400, {"error": f"bad image: {e}"})
                 return
             try:
-                probs = worker.submit(pixels)
+                probs, timing = worker.submit(pixels, want_timing=True)
             except QueueFullError as e:
                 self._json(503, {"error": str(e)},
                            headers=[("Retry-After", "1")])
@@ -361,8 +384,16 @@ def _make_handler(worker: BatchingWorker, engine: TaggerEngine,
             except Exception as e:
                 self._json(500, {"error": f"inference failed: {e}"})
                 return
-            self._json(200, _format_results(engine.tag_names, probs,
-                                            threshold))
+            payload = _format_results(engine.tag_names, probs, threshold)
+            # latency attribution (queue wait vs device pipeline), so
+            # clients and benches can separate head-of-line queueing from
+            # compute without server-side log scraping.  Opt-in via the
+            # X-Timing header: the default response body stays exactly the
+            # reference's classification_results.json per-image entry
+            # schema (tests/test_serve.py pins it).
+            if self.headers.get("X-Timing"):
+                payload["timing_ms"] = timing
+            self._json(200, payload)
 
     return Handler
 

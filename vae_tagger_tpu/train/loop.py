@@ -167,7 +167,7 @@ class EpochLoop:
     def __init__(self, args, train_loader, val_loader,
                  run_train_step: Callable, run_eval_step: Callable,
                  on_best: Callable, on_periodic: Optional[Callable] = None,
-                 log_metric_keys=("loss",)):
+                 log_metric_keys=("loss",), eval_rng_dependent: bool = True):
         self.args = args
         self.train_loader = train_loader
         self.val_loader = val_loader
@@ -176,6 +176,10 @@ class EpochLoop:
         self.on_best = on_best
         self.on_periodic = on_periodic
         self.log_metric_keys = log_metric_keys
+        # trainers whose val loss ignores the per-batch rng (train_decoder:
+        # frozen VAE, mode latents, no dropout at eval) set this False so
+        # --val_draws K doesn't buy K identical eval passes
+        self.eval_rng_dependent = eval_rng_dependent
         self.spatial = spatial_parallel_enabled(args)
         self.mesh = make_mesh(("model",)) if self.spatial else make_mesh()
         # optax.MultiSteps advances the inner schedule only every k-th
@@ -357,16 +361,22 @@ class EpochLoop:
             # noise for K eval passes.  K=1 (default) is the plain paired
             # estimate.
             val_draws = max(1, int(getattr(self.args, "val_draws", 1) or 1))
+            if not self.eval_rng_dependent:
+                val_draws = 1  # rng-free eval: K passes would be identical
             for i, (batch, n_real) in enumerate(
                     self._prefetched(self.val_loader)):
                 if self._preempt:  # SIGTERM mid-validation: save NOW, a
                     break          # slow val pass can outlast the grace window
                 for d in range(val_draws):
+                    if self._preempt:  # large K must not stretch the
+                        break          # interrupt-save past the grace window
                     # distinct rng per (batch, draw) — noise must not repeat
                     # within an epoch — identical across epochs (paired)
                     metrics = self.run_eval_step(state, batch,
                                                  i * val_draws + d)
                     val_pipeline.submit(metrics["loss"], n_real)
+                if self._preempt:
+                    break
             if val_dataset is not None and hasattr(val_dataset, "set_epoch"):
                 val_dataset.set_epoch(epoch + epoch_offset)
             val_pipeline.flush()

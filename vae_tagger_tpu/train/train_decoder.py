@@ -220,7 +220,7 @@ def train_decoder(args):
         save_decoder(state, "pytorch_model.bin")
 
     loop = EpochLoop(args, train_loader, val_loader, run_train, run_eval,
-                     on_best, on_periodic)
+                     on_best, on_periodic, eval_rng_dependent=False)
     if getattr(args, "resume_from", None):
         state = restore_train_state(state, args.resume_from)
         resume_step = int(jax.device_get(state.step))
