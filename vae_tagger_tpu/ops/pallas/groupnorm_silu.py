@@ -51,22 +51,33 @@ def _group_affine(ch_sum, ch_sq, scale, bias, *, num_groups: int,
 
     Group reductions as matmuls against a 0/1 membership matrix: Mosaic
     rejects lane-dimension reshapes ((1,C)->(G,C/G)), and a (C,G) matmul
-    is trivial MXU work."""
+    is trivial MXU work.  The dots are pinned to HIGHEST precision: at the
+    MXU default, the (1,C) channel-sum operand is rounded to bf16 passes,
+    which put ~bf16-relative noise on the group stats — measured 1e-3 to
+    3.8e-3 output rel err at the production GN shapes on the v5e
+    (benchmarks/kernel_numerics.py), and made the "stats are fp32" claim
+    of this module false on hardware.  The matmuls are (1,C)@(C,G) —
+    a few extra passes on a vector are free next to the data movement."""
     c = ch_sum.shape[-1]
     cg = c // num_groups
     c_idx = jax.lax.broadcasted_iota(jnp.int32, (c, num_groups), 0)
     g_idx = jax.lax.broadcasted_iota(jnp.int32, (c, num_groups), 1)
     member = (c_idx // cg == g_idx).astype(jnp.float32)   # (C, G)
 
-    g_sum = jnp.dot(ch_sum, member, preferred_element_type=jnp.float32)
-    g_sq = jnp.dot(ch_sq, member, preferred_element_type=jnp.float32)
+    hi = jax.lax.Precision.HIGHEST
+    g_sum = jnp.dot(ch_sum, member, preferred_element_type=jnp.float32,
+                    precision=hi)
+    g_sq = jnp.dot(ch_sq, member, preferred_element_type=jnp.float32,
+                   precision=hi)
     n = jnp.float32(count)
     g_mean = g_sum / n
     g_rstd = jax.lax.rsqrt(g_sq / n - g_mean * g_mean + eps)
 
     # scatter group stats back to channels: (1, G) @ (G, C)
-    mean_c = jnp.dot(g_mean, member.T, preferred_element_type=jnp.float32)
-    rstd_c = jnp.dot(g_rstd, member.T, preferred_element_type=jnp.float32)
+    mean_c = jnp.dot(g_mean, member.T, preferred_element_type=jnp.float32,
+                     precision=hi)
+    rstd_c = jnp.dot(g_rstd, member.T, preferred_element_type=jnp.float32,
+                     precision=hi)
     eff_scale = scale.astype(jnp.float32) * rstd_c
     eff_bias = bias.astype(jnp.float32) - mean_c * eff_scale
     return eff_scale, eff_bias
