@@ -69,7 +69,8 @@ def sh(argv, log_path, env=None, cwd=REPO):
 
 
 def score_vae_export(export_dir: str, ds_dir: str, resolution: int = 64,
-                     n_triplets: int = 64) -> dict:
+                     n_triplets: int = 64, recon_w: float = 0.01,
+                     triplet_w: float = 1.0) -> dict:
     """Neutral scorer for an exported diffusers-layout VAE directory.
 
     Loads the export through io/safetensors_io (the same loader both
@@ -84,11 +85,13 @@ def score_vae_export(export_dir: str, ds_dir: str, resolution: int = 64,
         — the ordering train_vae's metric-learning loss optimizes
         (/root/reference/train_vae.py:166-171);
       - holdout objective: the ACTUAL trained objective evaluated on the
-        holdout, 0.01*recon_mse + 1.0*mean cosine hinge
-        max(0, margin=1 + d(a,p) - d(a,n)) — the reference's default
-        weights put 99% of the gradient on the triplet term
-        (/root/reference/train_vae.py:318-321), so recon PSNR is an axis
-        the objective barely optimizes and comparisons must rank by this.
+        holdout, recon_w*recon_mse + triplet_w*mean cosine hinge
+        max(0, margin=1 + d(a,p) - d(a,n)) at the weights the run trained
+        with (defaults 0.01/1.0 — the reference's defaults put 99% of the
+        gradient on the triplet term, /root/reference/train_vae.py:318-321,
+        so recon PSNR is then an axis the objective barely optimizes; the
+        --key_suffix _recon config flips that and its entries are scored
+        at its 1.0/0.1 weights).
     Identical code scores both sides, so any asymmetry is the training.
     """
     import jax
@@ -149,7 +152,8 @@ def score_vae_export(export_dir: str, ds_dir: str, resolution: int = 64,
             "recon_psnr_db": round(float(psnr), 2),
             "triplet_accuracy": round(correct / max(total, 1), 4),
             "triplet_hinge": round(float(hinge), 4),
-            "holdout_objective": round(0.01 * float(mse) + float(hinge), 4),
+            "holdout_objective": round(recon_w * float(mse)
+                                       + triplet_w * float(hinge), 4),
             "n_triplets_scored": total}
 
 
@@ -359,19 +363,26 @@ def main():
         if args.val_draws:
             results["config"]["ours_val_draws"] = args.val_draws
         # one neutral scorer, both exports, identical held-out images —
-        # best-val selection AND the selection-free final epoch
+        # best-val selection AND the selection-free final epoch; the
+        # holdout objective is computed at the weights this run TRAINED
+        # with, so the objective column ranks the optimized axis for the
+        # recon-dominant config too
+        score_w = {"recon_w": (0.01 if args.reconstruction_weight is None
+                               else args.reconstruction_weight),
+                   "triplet_w": (1.0 if args.triplet_weight is None
+                                 else args.triplet_weight)}
         results["reference"] = score_vae_export(
-            os.path.join(ref_out, "best_vae"), ds_dir)
+            os.path.join(ref_out, "best_vae"), ds_dir, **score_w)
         results["ours"] = score_vae_export(
-            os.path.join(ours_out, "best_vae"), ds_dir)
+            os.path.join(ours_out, "best_vae"), ds_dir, **score_w)
         ref_final = os.path.join(ref_out,
                                  f"vae_checkpoint_epoch_{args.epochs - 1}")
         ours_final = os.path.join(ours_out, "vae")
         if os.path.isdir(ref_final) and os.path.isdir(ours_final):
-            results["reference_final_epoch"] = score_vae_export(ref_final,
-                                                                ds_dir)
-            results["ours_final_epoch"] = score_vae_export(ours_final,
-                                                           ds_dir)
+            results["reference_final_epoch"] = score_vae_export(
+                ref_final, ds_dir, **score_w)
+            results["ours_final_epoch"] = score_vae_export(
+                ours_final, ds_dir, **score_w)
             results["final_epoch_psnr_db_delta_ours_minus_ref"] = round(
                 results["ours_final_epoch"]["recon_psnr_db"]
                 - results["reference_final_epoch"]["recon_psnr_db"], 2)

@@ -156,11 +156,13 @@ def _drive_mixed(server, payload, mix=((512, 12), (1024, 4)),
 def main():
     from vae_tagger_tpu.serve import TaggerServer
 
+    mixed_only = "--mixed_only" in sys.argv[1:]
     engine = _engine()
     payload = _jpeg_payload()
 
     results = {"resolution": RESOLUTION}
-    for label, max_batch, fmt in (("micro_batched", 8, "rgb"),
+    for label, max_batch, fmt in () if mixed_only else (
+                                  ("micro_batched", 8, "rgb"),
                                   ("micro_batched_yuv420", 8, "yuv420"),
                                   ("batch1_ablation", 1, "rgb")):
         with TaggerServer(engine, resolution=RESOLUTION, threshold=0.0,
@@ -170,12 +172,13 @@ def main():
                           warmup=(max_batch == 8)) as server:
             results[label] = _drive(server, payload)
             print(label, results[label], flush=True)
-    results["micro_batching_speedup"] = round(
-        results["micro_batched"]["images_per_sec"]
-        / results["batch1_ablation"]["images_per_sec"], 2)
-    results["yuv420_speedup"] = round(
-        results["micro_batched_yuv420"]["images_per_sec"]
-        / results["micro_batched"]["images_per_sec"], 2)
+    if not mixed_only:
+        results["micro_batching_speedup"] = round(
+            results["micro_batched"]["images_per_sec"]
+            / results["batch1_ablation"]["images_per_sec"], 2)
+        results["yuv420_speedup"] = round(
+            results["micro_batched_yuv420"]["images_per_sec"]
+            / results["micro_batched"]["images_per_sec"], 2)
 
     # mixed-shape fairness: a 512px majority flood + 1024px minority
     # against one server holding both compiled programs (VERDICT r3 #10)
@@ -191,7 +194,8 @@ def main():
     if os.path.exists(out):
         with open(out) as f:
             report = json.load(f)
-    report["serving_512px"] = results
+    if not mixed_only:  # --mixed_only: refresh only the fairness entry
+        report["serving_512px"] = results
     report["serving_mixed"] = mixed
     with open(out, "w") as f:
         json.dump(report, f, indent=2)
